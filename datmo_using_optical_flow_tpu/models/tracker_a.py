@@ -1,0 +1,214 @@
+"""Pipeline-A tracking: fixed-capacity track table + quirk-exact EKF + greedy GNN.
+
+Device re-expression of the reference's tracking stack (``Optical_flow/main.py``):
+
+* ``extract_cluster_data`` (:402-434) -> :func:`extract_clusters` (segment means,
+  ddof=1 covariance, closed-form symmetric 2x2 eigenvalues);
+* ``class EKF`` (:437-467) -> :func:`_ekf_predict` / :func:`_ekf_update`.  The
+  reference's model is internally inconsistent (predict treats state[2:4] as
+  (theta, speed), update as (vx, vy)); we replicate *behavior*, not intent
+  (SURVEY.md §2.1 A12);
+* ``track_clusters`` (:468-506) -> :func:`associate_and_update`, a ``lax.scan``
+  over cluster slots preserving the reference's sequential dict semantics: later
+  clusters see states mutated by earlier claimants of the same track; several
+  clusters may claim one track (each predict+updates it); all new tracks in a
+  frame share one id ``max(old_ids, default=0)+1`` and only the last survives;
+  unmatched old tracks are dropped;
+* ``manage_tracks`` (:507-515) + lifetime bookkeeping (:622-634) ->
+  :func:`lifecycle` as masked integer ops.
+
+Everything operates on a :class:`TrackTable` pytree with static capacity and an
+alive mask — no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TrackTable(NamedTuple):
+    """Fixed-capacity track table (the device analogue of the ``tracks`` dict)."""
+
+    state: jnp.ndarray      # (T, 4)
+    cov: jnp.ndarray        # (T, 4, 4)
+    tid: jnp.ndarray        # (T,) int32 — reference dict keys
+    alive: jnp.ndarray      # (T,) bool
+    lifetime: jnp.ndarray   # (T,) int32
+    confirmed: jnp.ndarray  # (T,) bool
+
+
+def new_track_table(capacity: int) -> TrackTable:
+    return TrackTable(
+        state=jnp.zeros((capacity, 4), jnp.float32),
+        cov=jnp.zeros((capacity, 4, 4), jnp.float32),
+        tid=jnp.zeros((capacity,), jnp.int32),
+        alive=jnp.zeros((capacity,), bool),
+        lifetime=jnp.zeros((capacity,), jnp.int32),
+        confirmed=jnp.zeros((capacity,), bool),
+    )
+
+
+class Clusters(NamedTuple):
+    """Per-slot cluster data (device analogue of ``extract_cluster_data`` output)."""
+
+    exists: jnp.ndarray       # (K,) bool
+    centroid: jnp.ndarray     # (K, 2) [row, col]
+    measurement: jnp.ndarray  # (K, 4) [crow, ccol, mean vx, mean vy]
+    eigenvalues: jnp.ndarray  # (K, 2)
+
+
+def extract_clusters(labels: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                     vx: jnp.ndarray, vy: jnp.ndarray, max_clusters: int) -> Clusters:
+    """Per-cluster centroid/measurement/eigenvalues (``main.py:402-434``).
+
+    ``labels/rows/cols`` are the compacted DBSCAN outputs; ``vx/vy`` the filtered
+    velocity grids (cells gathered at each cluster's (row, col) indices).
+    """
+    k = max_clusters
+    valid = labels >= 0
+    lab = jnp.where(valid, labels, k)
+    num_segments = k + 1
+
+    ones = valid.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(ones, lab, num_segments)[:k]
+    r = rows.astype(jnp.float32)
+    c = cols.astype(jnp.float32)
+    w = vx[jnp.maximum(rows, 0), jnp.maximum(cols, 0)]
+    u = vy[jnp.maximum(rows, 0), jnp.maximum(cols, 0)]
+    sum_r = jax.ops.segment_sum(jnp.where(valid, r, 0), lab, num_segments)[:k]
+    sum_c = jax.ops.segment_sum(jnp.where(valid, c, 0), lab, num_segments)[:k]
+    sum_w = jax.ops.segment_sum(jnp.where(valid, w, 0), lab, num_segments)[:k]
+    sum_u = jax.ops.segment_sum(jnp.where(valid, u, 0), lab, num_segments)[:k]
+    safe = jnp.maximum(cnt, 1.0)
+    mr, mc = sum_r / safe, sum_c / safe
+    mw, mu = sum_w / safe, sum_u / safe
+
+    # ddof=1 covariance of (row, col) like np.cov (main.py:426)
+    dr = jnp.where(valid, r - mr[lab.clip(0, k - 1)], 0.0) * ones
+    dc = jnp.where(valid, c - mc[lab.clip(0, k - 1)], 0.0) * ones
+    srr = jax.ops.segment_sum(dr * dr, lab, num_segments)[:k]
+    scc = jax.ops.segment_sum(dc * dc, lab, num_segments)[:k]
+    src = jax.ops.segment_sum(dr * dc, lab, num_segments)[:k]
+    denom = cnt - 1.0
+    ok2 = denom > 0
+    a = jnp.where(ok2, srr / jnp.where(ok2, denom, 1.0), jnp.nan)
+    d = jnp.where(ok2, scc / jnp.where(ok2, denom, 1.0), jnp.nan)
+    b = jnp.where(ok2, src / jnp.where(ok2, denom, 1.0), jnp.nan)
+    half_tr = (a + d) * 0.5
+    disc = jnp.sqrt(jnp.maximum(((a - d) * 0.5) ** 2 + b * b, 0.0))
+    eig = jnp.stack([half_tr + disc, half_tr - disc], axis=1)
+
+    exists = cnt > 0
+    centroid = jnp.stack([mr, mc], axis=1)
+    measurement = jnp.stack([mr, mc, mw, mu], axis=1)
+    return Clusters(exists, centroid, measurement, eig)
+
+
+def _ekf_predict(state, cov, dt, u, q):
+    """Reference EKF.predict (``main.py:446-460``), quirks preserved."""
+    v, omega = u[0], u[1]
+    theta = state[2]
+    f = jnp.eye(4, dtype=state.dtype).at[0, 2].set(dt).at[1, 3].set(dt)
+    new_state = jnp.array([
+        state[0] + state[3] * jnp.cos(theta) * dt,
+        state[1] + state[3] * jnp.sin(theta) * dt,
+        state[2] + omega * dt,
+        state[3] + v * dt,
+    ])
+    new_cov = f @ cov @ f.T + q
+    return new_state, new_cov
+
+
+def _ekf_update(state, cov, z, r):
+    """Reference EKF.update (``main.py:462-467``): H = I4."""
+    s = cov + r
+    k = cov @ jnp.linalg.inv(s)
+    new_state = state + k @ (z - state)
+    new_cov = (jnp.eye(4, dtype=state.dtype) - k) @ cov
+    return new_state, new_cov
+
+
+def associate_and_update(table: TrackTable, clusters: Clusters, dt: float,
+                         q_scale: float, r_scale: float, gamma: float) -> TrackTable:
+    """``track_clusters`` (``main.py:468-506``) as a scan over cluster slots."""
+    cap = table.state.shape[0]
+    q = jnp.eye(4, dtype=jnp.float32) * q_scale
+    r = jnp.eye(4, dtype=jnp.float32) * r_scale
+
+    old_alive = table.alive
+    # reference: new_track_id = max(tracks.keys(), default=0) + 1, from OLD keys
+    new_id = jnp.max(jnp.where(old_alive, table.tid, 0)) + 1
+    # one reserved slot for the (single surviving) new track of this frame
+    free_slots = ~old_alive
+    new_slot = jnp.argmax(free_slots)  # first free slot
+    has_free = jnp.any(free_slots)
+
+    def body(carry, cl):
+        state, cov, in_new = carry
+        exists, centroid, meas, eig = cl
+        feat = jnp.concatenate([centroid, eig])
+        track_feat = jnp.concatenate([state[:, :2],
+                                      jnp.zeros((cap, 2), state.dtype)], axis=1)
+        dist = jnp.linalg.norm(feat[None, :] - track_feat, axis=1)
+        dist = jnp.where(old_alive, dist, jnp.inf)
+        best = jnp.argmin(dist)
+        matched = exists & (dist[best] < gamma)
+
+        # matched branch: predict with u = measurement[2:4], then update
+        ps, pc = _ekf_predict(state[best], cov[best], dt, meas[2:4], q)
+        us, uc = _ekf_update(ps, pc, meas, r)
+        state = jnp.where(matched, state.at[best].set(us), state)
+        cov = jnp.where(matched, cov.at[best].set(uc), cov)
+        in_new = jnp.where(matched, in_new.at[best].set(True), in_new)
+
+        # unmatched: fresh EKF in the reserved slot (overwrites earlier ones)
+        make_new = exists & ~matched & has_free
+        state = jnp.where(make_new, state.at[new_slot].set(meas), state)
+        cov = jnp.where(make_new,
+                        cov.at[new_slot].set(jnp.eye(4, dtype=jnp.float32)), cov)
+        in_new = jnp.where(make_new, in_new.at[new_slot].set(True), in_new)
+        return (state, cov, in_new), make_new
+
+    init = (table.state, table.cov, jnp.zeros((cap,), bool))
+    (state, cov, in_new), new_created = jax.lax.scan(
+        body, init, (clusters.exists, clusters.centroid, clusters.measurement,
+                     clusters.eigenvalues))
+
+    created = jnp.any(new_created)
+    tid = jnp.where(created & (jnp.arange(cap) == new_slot), new_id, table.tid)
+    return table._replace(state=state, cov=cov, tid=tid.astype(jnp.int32),
+                          alive=in_new)
+
+
+def lifecycle(table: TrackTable, prev_alive: jnp.ndarray, m1: int, n1: int,
+              m2: int, n2: int) -> TrackTable:
+    """Lifetime bookkeeping (``main.py:622-634``) + ``manage_tracks`` (:507-515).
+
+    ``prev_alive``: alive mask before association this frame — surviving tracks
+    increment lifetime, new tracks start at 1, dropped tracks reset.
+    """
+    survived = table.alive & prev_alive
+    fresh = table.alive & ~prev_alive
+    lifetime = jnp.where(survived, table.lifetime + 1,
+                         jnp.where(fresh, 1, 0)).astype(jnp.int32)
+    confirmed = jnp.where(table.alive, table.confirmed, False)
+
+    # manage_tracks: delete confirmed when N2 < lifetime <= N2 + M2;
+    # confirm when N1 <= lifetime <= N1 + M1
+    delete = table.alive & confirmed & (lifetime > n2) & (lifetime - m2 <= n2)
+    confirm = table.alive & ~confirmed & (lifetime >= n1) & (lifetime - m1 <= n1)
+    confirmed = confirmed | confirm
+    alive = table.alive & ~delete
+    return table._replace(alive=alive, lifetime=lifetime, confirmed=confirmed)
+
+
+def track_step(table: TrackTable, clusters: Clusters, dt: float, q_scale: float,
+               r_scale: float, gamma: float, m1: int, n1: int, m2: int,
+               n2: int) -> TrackTable:
+    """One full tracking step: association + EKF + lifecycle (``main.py:618-634``)."""
+    prev_alive = table.alive
+    table = associate_and_update(table, clusters, dt, q_scale, r_scale, gamma)
+    return lifecycle(table, prev_alive, m1, n1, m2, n2)

@@ -1,0 +1,327 @@
+"""Pyramidal Farnebäck dense optical flow on TPU (jnp/XLA path).
+
+TPU-native replacement for ``cv2.calcOpticalFlowFarneback`` as invoked by the
+reference (``Optical_flow/main.py:132-142``).  The semantics were pinned down
+empirically against cv2 (see :mod:`datmo_using_optical_flow_tpu.oracle.np_farneback`
+and tests/test_farneback.py); this module expresses them as TPU-shaped XLA ops:
+
+* **channel-first layouts**: coefficient/matrix planes are ``(5, H, W)`` so the
+  lane dimension is W (channel-last ``(H, W, 5)`` would waste 123/128 lanes);
+* **shift-add separable correlations** on the VPU (measured ~100x faster than
+  1-channel ``conv_general_dilated`` on TPU for these shapes);
+* flow-compensated warping as flat linear gathers per bilinear corner;
+* pyramid levels as a static Python loop — every shape static at trace time.
+
+Everything is jit/vmap-compatible: batching over frame pairs is
+:func:`farneback_flow_batched`.  The flow components travel as separate (H, W)
+arrays internally; the public API returns OpenCV-compatible ``(H, W, 2)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datmo_using_optical_flow_tpu.config import FarnebackConfig
+from datmo_using_optical_flow_tpu.oracle.np_farneback import (
+    BORDER,
+    BORDER_ATTEN,
+    gaussian_kernel,
+    level_sizes,
+    prepare_gaussian,
+)
+
+
+# ------------------------------------------------------------------ primitives
+
+def _corr_axis(img: jnp.ndarray, kernel: np.ndarray, axis: int,
+               pad_mode: str = "edge") -> jnp.ndarray:
+    """1-D correlation along ``axis`` via shift-and-add (VPU-friendly).
+
+    ``kernel`` is a static numpy array; taps with weight 0 are skipped.
+    Works on arrays of any rank; ``axis`` counted from the end for flexibility.
+    """
+    k = np.asarray(kernel, dtype=np.float32)
+    n = len(k) // 2
+    size = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (n, n)
+    p = jnp.pad(img, pad, mode=pad_mode)
+    out = None
+    for i, w in enumerate(k):
+        if w == 0.0:
+            continue
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + size)
+        term = np.float32(w) * p[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def sep_filter(img: jnp.ndarray, ky: np.ndarray, kx: np.ndarray, pad_mode: str) -> jnp.ndarray:
+    """Separable 2-D filter over the last two axes."""
+    return _corr_axis(_corr_axis(img, ky, -2, pad_mode), kx, -1, pad_mode)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
+    """cv2.GaussianBlur (BORDER_REFLECT_101) — used in pyramid level prep."""
+    k = gaussian_kernel(ksize, sigma).astype(np.float32)
+    if len(k) == 1:
+        return img
+    return sep_filter(img, k, k, "reflect")
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize INTER_LINEAR (pixel-center convention), float path.
+
+    Operates on the last two axes of (..., H, W).  Static sampling grids, so the
+    per-axis interpolation compiles to two weighted static-index gathers.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    if (out_h, out_w) == (h, w):
+        return img
+    sy, sx = h / out_h, w / out_w
+    fy = (np.arange(out_h) + 0.5) * sy - 0.5
+    fx = (np.arange(out_w) + 0.5) * sx - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int32), 0, max(h - 2, 0))
+    x0 = np.clip(np.floor(fx).astype(np.int32), 0, max(w - 2, 0))
+    wy = np.clip(fy - y0, 0.0, 1.0).astype(np.float32) if h > 1 else np.zeros(out_h, np.float32)
+    wx = np.clip(fx - x0, 0.0, 1.0).astype(np.float32) if w > 1 else np.zeros(out_w, np.float32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    rows0 = jnp.take(img, y0, axis=-2)
+    rows1 = jnp.take(img, y1, axis=-2)
+    wyj = jnp.asarray(wy)[:, None]
+    v = rows0 * (1 - wyj) + rows1 * wyj
+    cols0 = jnp.take(v, x0, axis=-1)
+    cols1 = jnp.take(v, x1, axis=-1)
+    wxj = jnp.asarray(wx)
+    return cols0 * (1 - wxj) + cols1 * wxj
+
+
+# ------------------------------------------------------------------ poly expansion
+
+def poly_exp(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """Quadratic polynomial expansion -> (5, H, W) coefficient planes.
+
+    Channels (validated vs cv2): [y-linear, x-linear, y², x², xy] scaled by the
+    inverse-Gram entries (ig11/ig03/ig33/ig55) exactly as OpenCV computes them.
+    """
+    g, xg, xxg, invG = prepare_gaussian(n, sigma)
+    ig11, ig03, ig33, ig55 = (np.float32(invG[1, 1]), np.float32(invG[0, 3]),
+                              np.float32(invG[3, 3]), np.float32(invG[5, 5]))
+    # vertical pass: three smoothed row planes from one padded image
+    pv = jnp.pad(img, ((n, n), (0, 0)), mode="edge")
+    h, w = img.shape
+    row_g = row_xg = row_xxg = None
+    for i in range(2 * n + 1):
+        sl = pv[i:i + h]
+        tg = np.float32(g[i]) * sl
+        row_g = tg if row_g is None else row_g + tg
+        if xg[i] != 0.0:
+            t = np.float32(xg[i]) * sl
+            row_xg = t if row_xg is None else row_xg + t
+        t2 = np.float32(xxg[i]) * sl
+        row_xxg = t2 if row_xxg is None else row_xxg + t2
+
+    def corr_x(a, kern):
+        return _corr_axis(a, kern.astype(np.float32), -1, "edge")
+
+    b1 = corr_x(row_g, g)
+    b2 = corr_x(row_g, xg)
+    b3 = corr_x(row_xg, g)
+    b4 = corr_x(row_g, xxg)
+    b5 = corr_x(row_xxg, g)
+    b6 = corr_x(row_xg, xg)
+
+    return jnp.stack([
+        b3 * ig11,                 # y-linear
+        b2 * ig11,                 # x-linear
+        b1 * ig03 + b5 * ig33,     # y^2
+        b1 * ig03 + b4 * ig33,     # x^2
+        b6 * ig55,                 # xy
+    ], axis=0)
+
+
+# ------------------------------------------------------------------ matrices / solve
+
+def _border_scale(h: int, w: int) -> np.ndarray:
+    """Certainty attenuation within BORDER=5 pixels of each edge (static)."""
+    def axis_scale(size):
+        idx = np.arange(size)
+        near = np.minimum(idx, size - 1 - idx)
+        return np.where(near < BORDER, BORDER_ATTEN[np.minimum(near, BORDER - 1)], 1.0)
+
+    return (axis_scale(h)[:, None] * axis_scale(w)[None, :]).astype(np.float32)
+
+
+def pack_corner_pairs(R1: jnp.ndarray) -> jnp.ndarray:
+    """Pack (R1[s], R1[s+1]) x-neighbor pairs as bf16 halves of one f32 plane.
+
+    Precomputed once per pyramid level; lets :func:`update_matrices` fetch both
+    x-corners of the bilinear stencil with a single gather (fast_warp mode).
+    """
+    c, h, w = R1.shape
+    right = jnp.concatenate([R1[:, :, 1:], R1[:, :, -1:]], axis=2)
+    hi = jax.lax.bitcast_convert_type(R1.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32) << 16
+    lo = jax.lax.bitcast_convert_type(right.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
+def _unpack_pair(g: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+    va = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    vb = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
+    return va.astype(jnp.float32), vb.astype(jnp.float32)
+
+
+def update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
+                    dy: jnp.ndarray, R1_packed: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Flow-compensated normal-equation planes M (5, H, W).
+
+    The bilinear warp of R1 is flat linear gathers over (5, H*W) — the fastest
+    gather formulation measured on TPU for this access pattern.  When
+    ``R1_packed`` (from :func:`pack_corner_pairs`) is given, both x-corners come
+    from one gather at bf16 precision (~2x faster warp, ~1e-3 px EPE cost).
+    """
+    _, h, w = R0.shape
+    xs = jnp.arange(w, dtype=dx.dtype)[None, :]
+    ys = jnp.arange(h, dtype=dx.dtype)[:, None]
+    fx = xs + dx
+    fy = ys + dy
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    fx = fx - x1
+    fy = fy - y1
+    x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+    inside = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
+    x1c = jnp.clip(x1i, 0, max(w - 2, 0))
+    y1c = jnp.clip(y1i, 0, max(h - 2, 0))
+
+    base = (y1c * w + x1c).reshape(-1)
+    a00 = ((1 - fx) * (1 - fy))[None]
+    a01 = (fx * (1 - fy))[None]
+    a10 = ((1 - fx) * fy)[None]
+    a11 = (fx * fy)[None]
+    if R1_packed is not None:
+        packed = R1_packed.reshape(5, h * w)
+        ta, tb = _unpack_pair(packed[:, base].reshape(5, h, w))
+        tc, td = _unpack_pair(packed[:, base + w].reshape(5, h, w))
+        r = a00 * ta + a01 * tb + a10 * tc + a11 * td
+    else:
+        flat = R1.reshape(5, h * w)
+
+        def take(offset):
+            return flat[:, base + offset].reshape(5, h, w)
+
+        r = a00 * take(0) + a01 * take(1) + a10 * take(w) + a11 * take(w + 1)
+
+    r2 = jnp.where(inside, r[0], 0.0)
+    r3 = jnp.where(inside, r[1], 0.0)
+    r4 = jnp.where(inside, (R0[2] + r[2]) * 0.5, R0[2])
+    r5 = jnp.where(inside, (R0[3] + r[3]) * 0.5, R0[3])
+    r6 = jnp.where(inside, (R0[4] + r[4]) * 0.25, R0[4] * 0.5)
+    r2 = (R0[0] - r2) * 0.5
+    r3 = (R0[1] - r3) * 0.5
+    r2 = r2 + r4 * dy + r6 * dx
+    r3 = r3 + r6 * dy + r5 * dx
+
+    scale = jnp.asarray(_border_scale(h, w))
+    r2, r3, r4, r5, r6 = (v * scale for v in (r2, r3, r4, r5, r6))
+    return jnp.stack([
+        r4 * r4 + r6 * r6,
+        (r4 + r5) * r6,
+        r5 * r5 + r6 * r6,
+        r4 * r2 + r6 * r3,
+        r6 * r2 + r5 * r3,
+    ], axis=0)
+
+
+def box_blur5(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    """Normalized box filter (BORDER_REPLICATE) over (5, H, W), separable shift-add."""
+    ones = np.ones(winsize, dtype=np.float32)
+    out = _corr_axis(_corr_axis(M, ones, -2, "edge"), ones, -1, "edge")
+    return out * np.float32(1.0 / (winsize * winsize))
+
+
+def solve_flow(Mb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel 2x2 solve with OpenCV's +1e-3 determinant regularizer."""
+    g11, g12, g22, h1, h2 = Mb[0], Mb[1], Mb[2], Mb[3], Mb[4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    return (g11 * h2 - g12 * h1) * idet, (g22 * h1 - g12 * h2) * idet
+
+
+def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
+                    winsize: int, iterations: int, use_pallas: bool = False,
+                    fast_warp: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level: iterations x (matrices -> box blur -> solve)."""
+    if use_pallas:
+        from datmo_using_optical_flow_tpu.ops import flow_pallas
+
+        return flow_pallas.farneback_level(R0, R1, dx, dy, winsize, iterations)
+    packed = pack_corner_pairs(R1) if fast_warp else None
+    M = update_matrices(R0, R1, dx, dy, packed)
+    for i in range(iterations):
+        dx, dy = solve_flow(box_blur5(M, winsize))
+        if i < iterations - 1:
+            M = update_matrices(R0, R1, dx, dy, packed)
+    return dx, dy
+
+
+# ------------------------------------------------------------------ pyramid driver
+
+def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
+                    poly_sigma, use_pallas, fast_warp=False):
+    h, w = im1.shape
+    dx = dy = None
+    for k, scale, lh, lw in level_sizes(h, w, pyr_scale, levels):
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        if dx is None:
+            dx = jnp.zeros((lh, lw), dtype=jnp.float32)
+            dy = jnp.zeros((lh, lw), dtype=jnp.float32)
+        else:
+            inv = np.float32(1.0 / pyr_scale)
+            dx = resize_bilinear(dx, lh, lw) * inv
+            dy = resize_bilinear(dy, lh, lw) * inv
+        Rs = []
+        for im in (im1, im2):
+            f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
+            f = resize_bilinear(f, lh, lw)
+            Rs.append(poly_exp(f, poly_n, poly_sigma))
+        dx, dy = farneback_level(Rs[0], Rs[1], dx, dy, winsize, iterations, use_pallas,
+                                 fast_warp)
+    return jnp.stack([dx, dy], axis=-1)
+
+
+_farneback = jax.jit(_farneback_impl,
+                     static_argnames=("pyr_scale", "levels", "winsize", "iterations",
+                                      "poly_n", "poly_sigma", "use_pallas", "fast_warp"))
+
+
+def farneback_flow(im1: jnp.ndarray, im2: jnp.ndarray,
+                   cfg: FarnebackConfig = FarnebackConfig(),
+                   use_pallas: bool = False, fast_warp: bool = False) -> jnp.ndarray:
+    """Dense flow im1 -> im2; returns (H, W, 2) [dx, dy] in pixels/frame.
+
+    Drop-in equivalent of the reference's ``cv2.calcOpticalFlowFarneback(bev1, bev2,
+    None, **farneback_params)`` (``Optical_flow/main.py:142``) with ``flags=0``.
+    ``fast_warp`` trades exactness (~1e-3 px EPE vs cv2 instead of ~1e-5) for a
+    ~2x faster warp stage via packed bf16 corner pairs.
+    """
+    return _farneback(im1, im2, cfg.pyr_scale, cfg.levels, cfg.winsize,
+                      cfg.iterations, cfg.poly_n, cfg.poly_sigma, use_pallas, fast_warp)
+
+
+def farneback_flow_batched(im1: jnp.ndarray, im2: jnp.ndarray,
+                           cfg: FarnebackConfig = FarnebackConfig(),
+                           use_pallas: bool = False, fast_warp: bool = False) -> jnp.ndarray:
+    """vmapped flow over a leading batch of frame pairs: (B, H, W) -> (B, H, W, 2)."""
+    fn = lambda a, b: _farneback_impl(a, b, cfg.pyr_scale, cfg.levels, cfg.winsize,
+                                      cfg.iterations, cfg.poly_n, cfg.poly_sigma,
+                                      use_pallas, fast_warp)
+    return jax.jit(jax.vmap(fn))(im1, im2)
