@@ -1,0 +1,233 @@
+"""Pipeline A: BEV + Farnebäck-flow DATMO, end-to-end on TPU.
+
+The device re-composition of ``Optical_flow/main.py:process_multiple_frames``
+(:541-641): PCD points stream in as fixed-capacity padded buffers; everything from
+preprocessing to the track table advances inside TWO jitted programs
+(:func:`PipelineA.preprocess` per frame, :func:`PipelineA.step` per frame pair),
+so the frame→tracks path never leaves the device; artifacts are mirrored to host
+asynchronously by the runner.
+
+Defects fixed relative to the reference (SURVEY.md §2.4) while keeping healthy-path
+parity:
+
+* first-frame acceleration crash (``main.py:588-589``) — acceleration is computed
+  only when a previous velocity grid exists;
+* each PCD is preprocessed once per appearance instead of twice per pair
+  (``main.py:568-569``) — outputs differ only through the (explicitly keyed)
+  densifier noise, which the reference leaves unseeded;
+* config is authoritative (RANSAC/Farnebäck blocks honored, see config.py).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Iterator, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datmo_using_optical_flow_tpu.config import PipelineAConfig
+from datmo_using_optical_flow_tpu.io.artifacts import ArtifactSink
+from datmo_using_optical_flow_tpu.io.frames import DiskFrameSource
+from datmo_using_optical_flow_tpu.models import tracker_a
+from datmo_using_optical_flow_tpu.ops import bev as bev_ops
+from datmo_using_optical_flow_tpu.ops import masks as mask_ops
+from datmo_using_optical_flow_tpu.ops import points as point_ops
+from datmo_using_optical_flow_tpu.ops.dbscan import dbscan_velocity_grid
+from datmo_using_optical_flow_tpu.ops.farneback import _farneback_impl
+from datmo_using_optical_flow_tpu.ops.ransac import remove_ground
+from datmo_using_optical_flow_tpu.utils.padding import compact_masked
+
+
+class StepOutputs(NamedTuple):
+    """Per-frame-pair observables mirrored to host for artifacts/metrics."""
+
+    velocity_x: jnp.ndarray     # filtered vx grid (saved at main.py:610)
+    velocity_y: jnp.ndarray
+    magnitude: jnp.ndarray
+    angular: jnp.ndarray        # curl of the filtered grids (main.py:604-606)
+    raw_velocity_x: jnp.ndarray  # pre-mask grids (saved at main.py:580)
+    raw_velocity_y: jnp.ndarray
+    labels: jnp.ndarray         # compacted DBSCAN labels
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    cell_count: jnp.ndarray
+    snapshot: tracker_a.TrackTable  # post-association table (artifact at main.py:619)
+
+
+class StepCarry(NamedTuple):
+    prev_vx: jnp.ndarray
+    prev_vy: jnp.ndarray
+    has_prev: jnp.ndarray  # bool scalar
+    table: tracker_a.TrackTable
+
+
+class PipelineA:
+    """Streaming runner for the optical-flow DATMO pipeline."""
+
+    def __init__(self, cfg: PipelineAConfig | None = None, fast_warp: bool = True,
+                 use_pallas: bool = False):
+        self.cfg = (cfg or PipelineAConfig()).validate()
+        self.fast_warp = fast_warp
+        self.use_pallas = use_pallas
+        c = self.cfg
+        self._preprocess = jax.jit(partial(_preprocess_impl, cfg=c))
+        self._step = jax.jit(partial(_step_impl, cfg=c, fast_warp=fast_warp,
+                                     use_pallas=use_pallas))
+
+    # -------------------------------------------------------------- device fns
+
+    def preprocess(self, points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array):
+        """points+mask -> uint8 BEV grid (reference ``preprocess_pcd``, main.py:59-95)."""
+        return self._preprocess(points, mask, key)
+
+    def init_carry(self) -> StepCarry:
+        h, w = self.cfg.grid_shape
+        return StepCarry(
+            prev_vx=jnp.zeros((h, w), jnp.float32),
+            prev_vy=jnp.zeros((h, w), jnp.float32),
+            has_prev=jnp.asarray(False),
+            table=tracker_a.new_track_table(self.cfg.capacities.max_tracks),
+        )
+
+    def step(self, bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry
+             ) -> tuple[StepCarry, StepOutputs]:
+        """One frame-pair DATMO step (main.py:565-634 healthy path)."""
+        return self._step(bev1, bev2, carry)
+
+    # -------------------------------------------------------------- host runner
+
+    def process_files(self, pcd_files: Sequence[str], output_dir: str | None = None,
+                      save_png: bool = False, seed: int = 0,
+                      progress: bool = False) -> dict:
+        """Run the full pipeline over a PCD sequence, writing parity artifacts.
+
+        Equivalent of ``process_multiple_frames(pcd_files, config)`` (main.py:541).
+        Returns a summary dict with final tracks and per-stage timings.
+        """
+        c = self.cfg
+        sink = ArtifactSink(output_dir or c.output_folder, save_png=save_png)
+        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
+        carry = self.init_carry()
+        key = jax.random.PRNGKey(seed)
+
+        prev_bev = None
+        timings = {"preprocess": 0.0, "step": 0.0, "artifacts": 0.0}
+        n_pairs = 0
+        for i, (pts, mask) in enumerate(source):
+            t0 = time.perf_counter()
+            key, k = jax.random.split(key)
+            bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
+            timings["preprocess"] += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            sink.save_bev(np.asarray(bev), i)
+            timings["artifacts"] += time.perf_counter() - t0
+
+            if prev_bev is not None:
+                t0 = time.perf_counter()
+                carry, out = self.step(prev_bev, bev, carry)
+                timings["step"] += time.perf_counter() - t0
+
+                t0 = time.perf_counter()
+                self._write_pair_artifacts(sink, out, i - 1)
+                timings["artifacts"] += time.perf_counter() - t0
+                n_pairs += 1
+                if progress:
+                    print(f"pair {i - 1}: cells={int(out.cell_count)} "
+                          f"tracks={int(np.asarray(carry.table.alive).sum())}")
+            prev_bev = bev
+
+        tracks = self._tracks_dict(carry.table)
+        sink.print_final_track_velocities(tracks)
+        return {"tracks": tracks, "timings": timings, "pairs": n_pairs}
+
+    @staticmethod
+    def _tracks_dict(table: tracker_a.TrackTable) -> dict[int, np.ndarray]:
+        alive = np.asarray(table.alive)
+        tid = np.asarray(table.tid)
+        state = np.asarray(table.state)
+        return {int(tid[i]): state[i] for i in np.nonzero(alive)[0]}
+
+    def _write_pair_artifacts(self, sink: ArtifactSink, out: StepOutputs,
+                              pair_index: int) -> None:
+        # reference saves raw grids (main.py:580) then overwrites with filtered
+        # (main.py:610) under the same index -> net artifact is the filtered grid
+        vx = np.asarray(out.velocity_x)
+        vy = np.asarray(out.velocity_y)
+        sink.save_velocity_grid(vx, vy, pair_index)
+        sink.append_filtered_velocities(vx, vy, np.asarray(out.magnitude),
+                                        np.asarray(out.angular), pair_index)
+        n = int(out.cell_count)
+        labels = np.asarray(out.labels)[:n]
+        idx = np.stack([np.asarray(out.rows)[:n], np.asarray(out.cols)[:n]], axis=1)
+        sink.save_dbscan_results(labels, idx, pair_index)
+        tracks = self._tracks_dict(out.snapshot)
+        sink.save_ekf_tracks(tracks, pair_index)
+        sink.append_track_velocities(tracks, pair_index)
+
+
+# ------------------------------------------------------------------ jitted impls
+
+def _preprocess_impl(points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
+                     cfg: PipelineAConfig) -> jnp.ndarray:
+    """flip -> RANSAC ground removal -> ROI -> compact -> densify -> BEV
+    (reference ``preprocess_pcd``, ``Optical_flow/main.py:59-95``)."""
+    c = cfg
+    kr, kd = jax.random.split(key)
+    p = point_ops.flip_x(points)
+    _, non_ground = remove_ground(p, mask, kr, c.ransac.distance_threshold,
+                                  c.ransac.ransac_n, c.ransac.num_iterations)
+    roi = non_ground & point_ops.roi_mask(p, c.roi_bounds)
+    cpts, cmask, _ = compact_masked(p, roi, c.capacities.max_roi_points)
+    ex, exmask = point_ops.densify(cpts, cmask, kd, c.capacities.expansion_factor,
+                                   c.noise_std)
+    return bev_ops.compute_bev_grid(ex, exmask, c.grid_shape, c.x_range, c.y_range,
+                                    c.grid_resolution, c.bev_a, c.bev_b, c.z_max)
+
+
+def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
+               cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool
+               ) -> tuple[StepCarry, StepOutputs]:
+    c = cfg
+    fb = c.farneback
+    flow = _farneback_impl(bev1.astype(jnp.float32), bev2.astype(jnp.float32),
+                           fb.pyr_scale, fb.levels, fb.winsize, fb.iterations,
+                           fb.poly_n, fb.poly_sigma, use_pallas, fast_warp)
+    velocity_x, velocity_y, _ = mask_ops.velocity_from_flow(flow, c.x_range, c.y_range)
+
+    # acceleration (defect #1 fixed: only when a previous grid exists); feeds the
+    # acceleration-aware propagation mask, which the reference defines but never
+    # applies (main.py:596-597) — available via mask_ops for API parity
+    _ax = jnp.where(carry.has_prev, (velocity_x - carry.prev_vx) / c.dt, 0.0)
+    _ay = jnp.where(carry.has_prev, (velocity_y - carry.prev_vy) / c.dt, 0.0)
+
+    cont = mask_ops.continuity_mask(velocity_x, velocity_y, c.masks.alpha_cont)
+    combined = cont.astype(velocity_x.dtype)
+    vx_f = velocity_x * combined
+    vy_f = velocity_y * combined
+    magnitude = jnp.sqrt(vx_f * vx_f + vy_f * vy_f)
+    angular = mask_ops.gradient(vy_f, 1) - mask_ops.gradient(vx_f, 0)
+
+    valid = magnitude > c.velocity_threshold
+    labels, rows, cols, cmask, count = dbscan_velocity_grid(
+        vx_f, vy_f, valid, c.dbscan.eps, c.dbscan.min_samples, c.grid_shape,
+        c.capacities.max_cells)
+
+    clusters = tracker_a.extract_clusters(labels, rows, cols, vx_f, vy_f,
+                                          c.capacities.max_clusters)
+    t = c.tracker
+    snapshot = tracker_a.associate_and_update(carry.table, clusters, c.dt,
+                                              t.process_noise, t.measurement_noise,
+                                              t.gamma)
+    table = tracker_a.lifecycle(snapshot, t.m1, t.n1, t.m2, t.n2)
+
+    new_carry = StepCarry(prev_vx=velocity_x, prev_vy=velocity_y,
+                          has_prev=jnp.asarray(True), table=table)
+    outputs = StepOutputs(velocity_x=vx_f, velocity_y=vy_f, magnitude=magnitude,
+                          angular=angular, raw_velocity_x=velocity_x,
+                          raw_velocity_y=velocity_y, labels=labels, rows=rows,
+                          cols=cols, cell_count=count, snapshot=snapshot)
+    return new_carry, outputs

@@ -141,10 +141,17 @@ def associate_and_update(table: TrackTable, clusters: Clusters, dt: float,
     old_alive = table.alive
     # reference: new_track_id = max(tracks.keys(), default=0) + 1, from OLD keys
     new_id = jnp.max(jnp.where(old_alive, table.tid, 0)) + 1
-    # one reserved slot for the (single surviving) new track of this frame
+    # One reserved slot for the (single surviving) new track of this frame.
+    # Prefer a "ghost" slot carrying the same recycled id: the reference's
+    # ``track_lifetimes`` / ``confirmed_tracks`` are keyed by id and survive a
+    # manage_tracks deletion into the next frame (main.py:622-634 cleanup runs
+    # *before* the deletion), so a reborn id inherits its stale lifetime and
+    # confirmed status — replicated by reusing that slot.
     free_slots = ~old_alive
-    new_slot = jnp.argmax(free_slots)  # first free slot
+    ghost = free_slots & (table.tid == new_id) & (table.lifetime > 0)
+    new_slot = jnp.where(jnp.any(ghost), jnp.argmax(ghost), jnp.argmax(free_slots))
     has_free = jnp.any(free_slots)
+    inherits = jnp.any(ghost)
 
     def body(carry, cl):
         state, cov, in_new = carry
@@ -178,30 +185,38 @@ def associate_and_update(table: TrackTable, clusters: Clusters, dt: float,
                      clusters.eigenvalues))
 
     created = jnp.any(new_created)
-    tid = jnp.where(created & (jnp.arange(cap) == new_slot), new_id, table.tid)
+    is_new_slot = created & (jnp.arange(cap) == new_slot)
+    tid = jnp.where(is_new_slot, new_id, table.tid)
+    # a non-inheriting birth starts with clean lifecycle state in its slot
+    reset = is_new_slot & ~inherits
+    lifetime = jnp.where(reset, 0, table.lifetime)
+    confirmed = jnp.where(reset, False, table.confirmed)
     return table._replace(state=state, cov=cov, tid=tid.astype(jnp.int32),
-                          alive=in_new)
+                          alive=in_new, lifetime=lifetime.astype(jnp.int32),
+                          confirmed=confirmed)
 
 
-def lifecycle(table: TrackTable, prev_alive: jnp.ndarray, m1: int, n1: int,
-              m2: int, n2: int) -> TrackTable:
+def lifecycle(table: TrackTable, m1: int, n1: int, m2: int, n2: int) -> TrackTable:
     """Lifetime bookkeeping (``main.py:622-634``) + ``manage_tracks`` (:507-515).
 
-    ``prev_alive``: alive mask before association this frame — surviving tracks
-    increment lifetime, new tracks start at 1, dropped tracks reset.
+    Reference order within a frame: lifetimes of current tracks increment (new
+    tracks start at 1, via the birth-time reset in :func:`associate_and_update`);
+    lifetimes of absent ids are dropped (dead slots -> 0) — EXCEPT a track deleted
+    by manage_tracks this frame keeps its lifetime into the next frame (cleanup
+    ran before the deletion), which is what makes the reference's id-recycling
+    rebirth quirk observable.  ``confirmed`` is per-id-forever in the reference
+    (the set never shrinks); per-slot flags replicate that except when a ghost
+    slot is overwritten by a different id before its id recycles (doubly-exotic;
+    documented deviation).
     """
-    survived = table.alive & prev_alive
-    fresh = table.alive & ~prev_alive
-    lifetime = jnp.where(survived, table.lifetime + 1,
-                         jnp.where(fresh, 1, 0)).astype(jnp.int32)
-    confirmed = jnp.where(table.alive, table.confirmed, False)
-
-    # manage_tracks: delete confirmed when N2 < lifetime <= N2 + M2;
-    # confirm when N1 <= lifetime <= N1 + M1
-    delete = table.alive & confirmed & (lifetime > n2) & (lifetime - m2 <= n2)
-    confirm = table.alive & ~confirmed & (lifetime >= n1) & (lifetime - m1 <= n1)
+    alive = table.alive
+    lifetime = jnp.where(alive, table.lifetime + 1, 0).astype(jnp.int32)
+    confirmed = table.confirmed
+    delete = alive & confirmed & (lifetime > n2) & (lifetime - m2 <= n2)
+    confirm = alive & ~confirmed & (lifetime >= n1) & (lifetime - m1 <= n1)
     confirmed = confirmed | confirm
-    alive = table.alive & ~delete
+    alive = alive & ~delete
+    # deleted-this-frame slots keep their lifetime (ghost); long-dead slots are 0
     return table._replace(alive=alive, lifetime=lifetime, confirmed=confirmed)
 
 
@@ -209,6 +224,5 @@ def track_step(table: TrackTable, clusters: Clusters, dt: float, q_scale: float,
                r_scale: float, gamma: float, m1: int, n1: int, m2: int,
                n2: int) -> TrackTable:
     """One full tracking step: association + EKF + lifecycle (``main.py:618-634``)."""
-    prev_alive = table.alive
     table = associate_and_update(table, clusters, dt, q_scale, r_scale, gamma)
-    return lifecycle(table, prev_alive, m1, n1, m2, n2)
+    return lifecycle(table, m1, n1, m2, n2)

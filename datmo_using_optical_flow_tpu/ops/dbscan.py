@@ -130,7 +130,7 @@ def dbscan(features: jnp.ndarray, valid: jnp.ndarray, eps: float | jnp.ndarray,
     return labels[:n], core[:n]
 
 
-@partial(jax.jit, static_argnames=("min_samples", "grid_shape"))
+@partial(jax.jit, static_argnames=("min_samples", "grid_shape", "max_cells"))
 def dbscan_velocity_grid(vx: jnp.ndarray, vy: jnp.ndarray, valid_mask: jnp.ndarray,
                          eps: float, min_samples: int, grid_shape: tuple[int, int],
                          max_cells: int):

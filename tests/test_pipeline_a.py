@@ -1,0 +1,129 @@
+"""Integration test: pipeline A end-to-end vs a CPU-oracle run of the reference
+algorithms sharing the same BEV inputs (``process_multiple_frames``, main.py:541-641,
+with defect #1 fixed on both sides — SURVEY.md §4 'artifact parity')."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
+from datmo_using_optical_flow_tpu.oracle import reference_a as ref
+from datmo_using_optical_flow_tpu.sim.synthetic import SyntheticScene, write_synthetic_sequence
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineAConfig(
+        capacities=CapacityConfig(max_raw_points=8192, max_roi_points=2048,
+                                  max_cells=2048, max_clusters=8, max_tracks=16))
+
+
+@pytest.fixture(scope="module")
+def bev_seq(cfg):
+    """Deterministic BEV sequence from synthetic PCDs through the device preprocessor."""
+    from datmo_using_optical_flow_tpu.io.frames import pad_points
+    from datmo_using_optical_flow_tpu.io.pcd import read_pcd
+
+    paths = write_synthetic_sequence(SyntheticScene(seed=9), "/tmp/test_pipea_seq", 4)
+    pipe = PipelineA(cfg, fast_warp=False)
+    bevs = []
+    key = jax.random.PRNGKey(0)
+    for i, p in enumerate(paths):
+        pts, mask = pad_points(read_pcd(p, dtype=np.float32), cfg.capacities.max_raw_points)
+        key, k = jax.random.split(key)
+        bevs.append(np.asarray(pipe.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)))
+    return bevs
+
+
+def _oracle_pipeline(bevs, cfg):
+    """The reference's per-pair loop (main.py:561-634) on shared BEVs, defect #1 fixed."""
+    tracks, lifetimes, confirmed = {}, {}, set()
+    per_pair = []
+    for i in range(len(bevs) - 1):
+        flow = ref.farneback_flow(bevs[i], bevs[i + 1])
+        vx, vy, _ = ref.velocity_from_flow(flow, cfg.x_range, cfg.y_range)
+        cont = ref.continuity_mask(vx, vy, cfg.masks.alpha_cont)
+        vx_f, vy_f = vx * cont, vy * cont
+        mag = np.sqrt(vx_f ** 2 + vy_f ** 2)
+        dvx_dy, _ = np.gradient(vx_f)
+        _, dvy_dx = np.gradient(vy_f)
+        ang = dvy_dx - dvx_dy
+        valid = mag > cfg.velocity_threshold
+        labels, idx = ref.dbscan_clustering(vx_f, vy_f, valid, cfg.dbscan.eps,
+                                            cfg.dbscan.min_samples)
+        clusters = ref.extract_cluster_data(labels, idx, vx_f, vy_f)
+        tracks = ref.track_clusters(tracks, clusters, cfg.dt,
+                                    np.eye(4) * cfg.tracker.process_noise,
+                                    np.eye(4) * cfg.tracker.measurement_noise,
+                                    cfg.tracker.gamma)
+        snapshot = {tid: ekf.state.copy() for tid, ekf in tracks.items()}
+        for tid in list(lifetimes):
+            if tid in tracks:
+                lifetimes[tid] += 1
+            else:
+                del lifetimes[tid]
+        for tid in tracks:
+            lifetimes.setdefault(tid, 1)
+        ref.manage_tracks(tracks, lifetimes, confirmed, 1, 4, 10, 15)
+        per_pair.append(dict(vx_f=vx_f, vy_f=vy_f, mag=mag, ang=ang, labels=labels,
+                             idx=idx, snapshot=snapshot))
+    return per_pair, tracks
+
+
+def test_pipeline_matches_oracle(bev_seq, cfg):
+    pipe = PipelineA(cfg, fast_warp=False)
+    carry = pipe.init_carry()
+    oracle_pairs, oracle_final = _oracle_pipeline(bev_seq, cfg)
+
+    for i in range(len(bev_seq) - 1):
+        carry, out = pipe.step(jnp.asarray(bev_seq[i]), jnp.asarray(bev_seq[i + 1]), carry)
+        o = oracle_pairs[i]
+        np.testing.assert_allclose(np.asarray(out.velocity_x), o["vx_f"],
+                                   atol=2e-4, err_msg=f"pair {i} vx")
+        np.testing.assert_allclose(np.asarray(out.magnitude), o["mag"], atol=2e-4)
+        n = int(out.cell_count)
+        assert n == len(o["labels"]), f"pair {i} cell count"
+        got_idx = np.stack([np.asarray(out.rows)[:n], np.asarray(out.cols)[:n]], axis=1)
+        np.testing.assert_array_equal(got_idx, o["idx"])
+        np.testing.assert_array_equal(np.asarray(out.labels)[:n], o["labels"])
+        got_tracks = PipelineA._tracks_dict(out.snapshot)
+        assert set(got_tracks) == set(o["snapshot"]), f"pair {i} track ids"
+        for tid, st in o["snapshot"].items():
+            np.testing.assert_allclose(got_tracks[tid], st, atol=5e-3,
+                                       err_msg=f"pair {i} track {tid}")
+
+    final = PipelineA._tracks_dict(carry.table)
+    assert set(final) == set(oracle_final)
+
+
+def test_process_files_writes_artifacts(cfg, tmp_path):
+    paths = write_synthetic_sequence(SyntheticScene(seed=9), str(tmp_path / "seq"), 3)
+    pipe = PipelineA(cfg)
+    out_dir = str(tmp_path / "out")
+    summary = pipe.process_files(paths, output_dir=out_dir, save_png=False)
+    assert summary["pairs"] == 2
+    for i in range(3):
+        assert os.path.exists(os.path.join(out_dir, f"bev_frame_{i}.npy"))
+    for i in range(2):
+        for name in (f"velocity_x_frame_{i}.npy", f"velocity_y_frame_{i}.npy",
+                     f"dbscan_labels_frame_{i}.npy", f"dbscan_indices_frame_{i}.npy",
+                     f"ekf_tracks_frame_{i}.yaml"):
+            assert os.path.exists(os.path.join(out_dir, name)), name
+    bev = np.load(os.path.join(out_dir, "bev_frame_0.npy"))
+    assert bev.dtype == np.uint8 and bev.shape == cfg.grid_shape
+    assert os.path.exists(os.path.join(out_dir, "filtered_velocities.csv"))
+
+
+def test_pipeline_deterministic(cfg, bev_seq):
+    """Same inputs + same keys -> identical outputs (explicit PRNG everywhere)."""
+    pipe = PipelineA(cfg, fast_warp=False)
+    outs = []
+    for _ in range(2):
+        carry = pipe.init_carry()
+        carry, out = pipe.step(jnp.asarray(bev_seq[0]), jnp.asarray(bev_seq[1]), carry)
+        outs.append(np.asarray(out.velocity_x))
+    np.testing.assert_array_equal(outs[0], outs[1])
