@@ -1,0 +1,345 @@
+"""Pipeline B: General Model-Free Approach (GMFA) DATMO, end-to-end on TPU.
+
+Device re-composition of the reference's ``GMFA/GMFA.py`` ``__main__`` loop
+(:424-536): ICP ego-motion compensation -> residual-motion classification ->
+moving-point ROI + DBSCAN -> Hungarian association -> track update/birth ->
+static occupancy map -> per-track KF.  Replicated quirks (on purpose):
+
+* a frame with zero moving ROI points is skipped *without* updating the previous
+  cloud (the reference's ``continue`` at GMFA.py:477 bypasses the update at :531);
+* residuals are index-wise when the cloud sizes happen to match and NN-aligned
+  otherwise (GMFA.py:79-91);
+* the SOM update pairs moving point k with the *full cloud's* residual k
+  (the zip misalignment at GMFA.py:491/134);
+* unmatched tracks are dropped (only assigned tracks survive ``update_tracks``,
+  GMFA.py:216-232) and every surviving track KF-updates against its *own*
+  feature centroid (GMFA.py:494-497);
+* new-track ids are random ints < 1e5 (GMFA.py:252) — here from an explicit key;
+* ``previous_positions`` (birth-velocity lookup) only refreshes on frames with
+  >= 1 live track (the indentation bug at GMFA.py:500-523 nests the update in the
+  per-track loop).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datmo_using_optical_flow_tpu.config import GMFAConfig
+from datmo_using_optical_flow_tpu.io.frames import DiskFrameSource
+from datmo_using_optical_flow_tpu.ops import points as point_ops
+from datmo_using_optical_flow_tpu.ops.dbscan import dbscan
+from datmo_using_optical_flow_tpu.ops.hungarian import linear_sum_assignment
+from datmo_using_optical_flow_tpu.ops.icp import registration_icp, transform_points
+from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors
+from datmo_using_optical_flow_tpu.ops.ransac import remove_ground
+from datmo_using_optical_flow_tpu.ops.som import update_som
+from datmo_using_optical_flow_tpu.utils.padding import compact_masked
+
+
+class TrackTableB(NamedTuple):
+    state: jnp.ndarray     # (T, 4) [x, y, vx, vy]
+    cov: jnp.ndarray       # (T, 4, 4)
+    features: jnp.ndarray  # (T, 4) [cx, cy, lmax, lmin]
+    tid: jnp.ndarray       # (T,)
+    age: jnp.ndarray       # (T,)
+    alive: jnp.ndarray     # (T,)
+
+
+def new_track_table_b(capacity: int) -> TrackTableB:
+    return TrackTableB(
+        state=jnp.zeros((capacity, 4), jnp.float32),
+        cov=jnp.zeros((capacity, 4, 4), jnp.float32),
+        features=jnp.zeros((capacity, 4), jnp.float32),
+        tid=jnp.zeros((capacity,), jnp.int32),
+        age=jnp.zeros((capacity,), jnp.int32),
+        alive=jnp.zeros((capacity,), bool),
+    )
+
+
+class GmfaCarry(NamedTuple):
+    prev_points: jnp.ndarray     # (P, 3) previous expanded cloud
+    prev_mask: jnp.ndarray       # (P,)
+    table: TrackTableB
+    som: jnp.ndarray             # (G, G)
+    prev_centroids: jnp.ndarray  # (K, 2) previous frame's cluster centroids
+    prev_exists: jnp.ndarray     # (K,)
+
+
+class GmfaOutputs(NamedTuple):
+    skip: jnp.ndarray            # bool: no moving ROI points (frame skipped)
+    classifications: jnp.ndarray  # (P,) int32 in {0(pad), 1, 2, 3}
+    residuals: jnp.ndarray       # (P,)
+    moving_points: jnp.ndarray   # (M, 3) compacted moving ROI points
+    moving_count: jnp.ndarray
+    labels: jnp.ndarray          # (M,) DBSCAN labels of moving points
+    n_clusters: jnp.ndarray
+    transformation: jnp.ndarray  # (4, 4) ICP ego-motion
+    fitness: jnp.ndarray
+
+
+class GMFAPipeline:
+    """Streaming runner for the GMFA pipeline."""
+
+    def __init__(self, cfg: GMFAConfig | None = None, max_moving_points: int = 8192):
+        self.cfg = (cfg or GMFAConfig()).validate()
+        self.max_moving = max_moving_points
+        self._preprocess = jax.jit(partial(_gmfa_preprocess_impl, cfg=self.cfg))
+        self._step = jax.jit(partial(_gmfa_step_impl, cfg=self.cfg,
+                                     max_moving=max_moving_points))
+
+    def preprocess(self, points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array):
+        """flip -> RANSAC -> ROI -> densify (GMFA ``preprocess_pcd``, GMFA.py:31-55).
+        Returns (expanded_points, expanded_mask)."""
+        return self._preprocess(points, mask, key)
+
+    def init_carry(self) -> GmfaCarry:
+        c = self.cfg
+        p = c.capacities.max_expanded_points
+        g = c.som.grid_size
+        return GmfaCarry(
+            prev_points=jnp.full((p, 3), 1e9, jnp.float32),
+            prev_mask=jnp.zeros((p,), bool),
+            table=new_track_table_b(c.capacities.max_tracks),
+            som=jnp.full((g, g), c.som.init_value, jnp.float32),
+            prev_centroids=jnp.zeros((c.capacities.max_clusters, 2), jnp.float32),
+            prev_exists=jnp.zeros((c.capacities.max_clusters,), bool),
+        )
+
+    def step(self, points: jnp.ndarray, mask: jnp.ndarray, carry: GmfaCarry,
+             key: jax.Array) -> tuple[GmfaCarry, GmfaOutputs]:
+        return self._step(points, mask, carry, key)
+
+    def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
+                      seed: int = 0, progress: bool = False) -> dict:
+        """Run GMFA over a PCD sequence (reference __main__, GMFA.py:424-536).
+
+        Returns {"rows": track-log rows, "som": final SOM}; writes
+        ``track_data.xlsx`` (or .csv fallback) like ``save_tracks_to_excel``.
+        """
+        c = self.cfg
+        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
+        carry = self.init_carry()
+        key = jax.random.PRNGKey(seed)
+        rows: list[dict] = []
+        have_prev = False
+        t_start = time.perf_counter()
+        for i, (pts, mask) in enumerate(source):
+            key, kp, ks = jax.random.split(key, 3)
+            ex, exmask = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), kp)
+            if not have_prev:
+                carry = carry._replace(prev_points=ex, prev_mask=exmask)
+                have_prev = True
+                continue
+            new_carry, out = self.step(ex, exmask, carry, ks)
+            if bool(out.skip):
+                if progress:
+                    print(f"frame {i}: no moving ROI points, skipped")
+                continue  # reference keeps the stale previous cloud (GMFA.py:477)
+            carry = new_carry
+            tb = carry.table
+            alive = np.asarray(tb.alive)
+            for s in np.nonzero(alive)[0]:
+                st = np.asarray(tb.state[s])
+                rows.append({"Frame": i - 1, "Track ID": int(tb.tid[s]),
+                             "X": float(st[0]), "Y": float(st[1]),
+                             "VX": float(st[2]), "VY": float(st[3])})
+            if progress:
+                print(f"frame {i}: moving={int(out.moving_count)} "
+                      f"clusters={int(out.n_clusters)} tracks={int(alive.sum())}")
+        if output_xlsx:
+            save_tracks_to_excel(rows, output_xlsx)
+        return {"rows": rows, "som": np.asarray(carry.som),
+                "elapsed": time.perf_counter() - t_start}
+
+
+def save_tracks_to_excel(rows: list[dict], output_file: str = "track_data.xlsx") -> None:
+    """``save_tracks_to_excel`` (``GMFA.py:419-422``); CSV fallback when no
+    openpyxl is available."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["Frame", "Track ID", "X", "Y", "VX", "VY"])
+    try:
+        df.to_excel(output_file, index=False)
+    except (ImportError, ModuleNotFoundError):
+        alt = output_file.rsplit(".", 1)[0] + ".csv"
+        df.to_csv(alt, index=False)
+        print(f"openpyxl unavailable; track data saved to {alt}")
+        return
+    print(f"Track data saved to {output_file}")
+
+
+# ------------------------------------------------------------------ jitted impls
+
+def _gmfa_preprocess_impl(points, mask, key, cfg: GMFAConfig):
+    c = cfg
+    kr, kd = jax.random.split(key)
+    p = point_ops.flip_x(points)
+    _, non_ground = remove_ground(p, mask, kr, c.ransac.distance_threshold,
+                                  c.ransac.ransac_n, c.ransac.num_iterations)
+    roi = non_ground & point_ops.roi_mask(p, c.roi_bounds)
+    cpts, cmask, _ = compact_masked(p, roi, c.capacities.max_roi_points)
+    return point_ops.densify(cpts, cmask, kd, c.capacities.expansion_factor,
+                             c.noise_std)
+
+
+def _cluster_features(points: jnp.ndarray, labels: jnp.ndarray, k: int):
+    """[cx, cy, lmax, lmin] per cluster from the 3-D point covariance (ddof=1),
+    replicating ``calculate_feature_vector`` (GMFA.py:164-169)."""
+    valid = labels >= 0
+    lab = jnp.where(valid, labels, k)
+    seg = partial(jax.ops.segment_sum, num_segments=k + 1)
+    ones = valid.astype(jnp.float32)
+    cnt = seg(ones, lab)[:k]
+    safe = jnp.maximum(cnt, 1.0)
+    sums = seg(jnp.where(valid[:, None], points, 0.0), lab)[:k]
+    mean = sums / safe[:, None]
+    dev = jnp.where(valid[:, None], points - mean[jnp.clip(lab, 0, k - 1)], 0.0)
+    # 3x3 covariance per cluster
+    outer = dev[:, :, None] * dev[:, None, :]
+    cov = seg(outer.reshape(-1, 9), lab)[:k].reshape(k, 3, 3)
+    denom = jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
+    cov = cov / denom
+    eig = jnp.linalg.eigvalsh(cov)  # ascending
+    feats = jnp.stack([mean[:, 0], mean[:, 1], eig[:, 2], eig[:, 0]], axis=1)
+    exists = cnt > 0
+    return feats, mean[:, :2], exists, cnt
+
+
+def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
+                    max_moving: int):
+    c = cfg
+    n_cur = jnp.sum(mask.astype(jnp.int32))
+    n_prev = jnp.sum(carry.prev_mask.astype(jnp.int32))
+
+    # 1. ICP ego-motion: previous -> current (GMFA.py:465)
+    icp = registration_icp(carry.prev_points, carry.prev_mask, points, mask,
+                           c.icp.threshold, c.icp.max_iterations,
+                           c.icp.relative_fitness, c.icp.relative_rmse)
+    prev_t = transform_points(carry.prev_points, icp.transformation)
+
+    # 2. residuals: index-wise when sizes match, NN-aligned otherwise (GMFA.py:79-91)
+    idx, _ = nearest_neighbors(points, prev_t, carry.prev_mask)
+    aligned = prev_t[idx]
+    same_size = n_cur == n_prev
+    ref_pts = jnp.where(same_size, prev_t, aligned)
+    residuals = jnp.linalg.norm(points - ref_pts, axis=1)
+    residuals = jnp.where(mask, residuals, 0.0)
+
+    # 3. classification 3/2/1 (GMFA.py:127-130); 0 marks padding
+    cls = jnp.where(residuals < c.static_threshold, 3,
+                    jnp.where(residuals > c.moving_threshold, 2, 1))
+    cls = jnp.where(mask, cls, 0).astype(jnp.int32)
+
+    # 4. moving-point ROI (GMFA.py:472-473) + compaction
+    moving = (cls == 2) & point_ops.roi_mask_2d(points, c.moving_roi_bounds)
+    mpts, mmask, mcount = compact_masked(points, moving, max_moving)
+    skip = mcount == 0
+
+    # 5. DBSCAN on raw 3-D moving points (GMFA.py:480: min_samples hard-coded in
+    # the reference; here from config whose default replicates it)
+    labels, _ = dbscan(mpts, mmask, c.dbscan.eps, c.dbscan.min_samples)
+    kmax = c.capacities.max_clusters
+    feats, centroids2d, exists, _counts = _cluster_features(mpts, labels, kmax)
+    n_clusters = jnp.sum(exists.astype(jnp.int32))
+
+    # 6. Hungarian association on feature distances (GMFA.py:182-213)
+    tb = carry.table
+    diff = tb.features[:, None, :] - feats[None, :, :]
+    cost = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    col4row, pair_ok = linear_sum_assignment(cost, row_mask=tb.alive, col_mask=exists)
+    assigned = pair_ok & (cost[jnp.arange(cost.shape[0]),
+                               jnp.clip(col4row, 0, kmax - 1)] < c.cost_threshold)
+
+    # 7. update matched tracks; drop unmatched (GMFA.py:216-232, :487)
+    ci = jnp.clip(col4row, 0, kmax - 1)
+    new_pos = centroids2d[ci]
+    vel = (new_pos - tb.state[:, :2]) / c.dt
+    upd_state = jnp.concatenate([new_pos, vel], axis=1)
+    state = jnp.where(assigned[:, None], upd_state, tb.state)
+    features = jnp.where(assigned[:, None], feats[ci], tb.features)
+    age = jnp.where(assigned, tb.age + 1, tb.age)
+    alive = assigned  # only matched survive
+
+    # 8. births from unassigned clusters (GMFA.py:235-258)
+    claimed = jnp.zeros((kmax + 1,), bool).at[
+        jnp.where(assigned, ci, kmax)].set(True, mode="drop")[:kmax]
+    unassigned = exists & ~claimed
+    free = ~alive
+    # slot for the j-th unassigned cluster = j-th free slot
+    birth_rank = jnp.cumsum(unassigned.astype(jnp.int32)) - 1      # per cluster
+    free_idx = jnp.cumsum(free.astype(jnp.int32)) - 1              # per slot
+    cap = alive.shape[0]
+    slot_of_rank = jnp.full((kmax + 1,), cap, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(free, free_idx, kmax)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    target_slot = jnp.where(unassigned, slot_of_rank[jnp.clip(birth_rank, 0, kmax)], cap)
+
+    prev_pos_known = carry.prev_exists
+    birth_vel = jnp.where(prev_pos_known[:, None],
+                          (centroids2d - carry.prev_centroids) / c.dt, 0.0)
+    birth_state = jnp.concatenate([centroids2d, birth_vel], axis=1)
+    tids_new = jax.random.randint(key, (kmax,), 0, 100000).astype(jnp.int32)
+
+    state = state.at[target_slot].set(birth_state, mode="drop")
+    features = features.at[target_slot].set(feats, mode="drop")
+    cov = tb.cov.at[target_slot].set(
+        jnp.broadcast_to(jnp.eye(4) * c.initial_covariance, (kmax, 4, 4)), mode="drop")
+    tid = tb.tid.at[target_slot].set(tids_new, mode="drop")
+    age = age.at[target_slot].set(1, mode="drop")
+    born = jnp.zeros((cap,), bool).at[target_slot].set(unassigned, mode="drop")
+    alive = alive | born
+
+    # 9. SOM update with the reference's misaligned (moving point k, residual k)
+    if residuals.shape[0] >= max_moving:
+        som_res = residuals[:max_moving]
+    else:
+        som_res = jnp.pad(residuals, (0, max_moving - residuals.shape[0]))
+    som = update_som(carry.som, mpts, mmask & (jnp.arange(max_moving) < n_cur),
+                     som_res, c.static_threshold, c.moving_threshold,
+                     c.som.cell_resolution, c.som.static_increment,
+                     c.som.moving_decrement, c.som.max_value, c.som.min_value)
+
+    # 10. KF predict+update per live track against its own feature (GMFA.py:494-497)
+    f_mat = jnp.array([[1, 0, c.dt, 0], [0, 1, 0, c.dt],
+                       [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+    q = jnp.diag(jnp.asarray(c.kf_process_noise, jnp.float32))
+    h = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], jnp.float32)
+    r = jnp.eye(2, dtype=jnp.float32) * c.kf_measurement_noise
+
+    def kf(state_i, cov_i, feat_i):
+        x = state_i[:, None]
+        xp = f_mat @ x
+        pp = f_mat @ cov_i @ f_mat.T + q
+        z = feat_i[:2][:, None]
+        y = z - h @ xp
+        s = h @ pp @ h.T + r
+        kk = pp @ h.T @ jnp.linalg.inv(s)
+        xu = xp + kk @ y
+        pu = (jnp.eye(4) - kk @ h) @ pp
+        return xu[:, 0], pu
+
+    kf_state, kf_cov = jax.vmap(kf)(state, cov, features)
+    state = jnp.where(alive[:, None], kf_state, state)
+    cov = jnp.where(alive[:, None, None], kf_cov, cov)
+
+    table = TrackTableB(state=state, cov=cov, features=features, tid=tid,
+                        age=age.astype(jnp.int32), alive=alive)
+
+    # 11. previous_positions refresh only when tracks exist (indentation quirk)
+    any_tracks = jnp.any(alive)
+    prev_centroids = jnp.where(any_tracks, centroids2d, carry.prev_centroids)
+    prev_exists = jnp.where(any_tracks, exists, carry.prev_exists)
+
+    new_carry = GmfaCarry(prev_points=points, prev_mask=mask, table=table, som=som,
+                          prev_centroids=prev_centroids, prev_exists=prev_exists)
+    outputs = GmfaOutputs(skip=skip, classifications=cls, residuals=residuals,
+                          moving_points=mpts, moving_count=mcount, labels=labels,
+                          n_clusters=n_clusters, transformation=icp.transformation,
+                          fitness=icp.fitness)
+    return new_carry, outputs

@@ -1,0 +1,154 @@
+"""Unit tests for the GMFA compute kernels: 1-NN, ICP, Hungarian, SOM
+(reference native call sites: FLANN loops GMFA.py:84-91/109-119, Open3D ICP :305,
+scipy Hungarian :204, SOM loop :134-142)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment as scipy_lsa
+from scipy.spatial import cKDTree
+
+from datmo_using_optical_flow_tpu.ops.hungarian import linear_sum_assignment, solve_square
+from datmo_using_optical_flow_tpu.ops.icp import registration_icp, transform_points
+from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors
+from datmo_using_optical_flow_tpu.ops.som import update_som
+from datmo_using_optical_flow_tpu.oracle import reference_b as refb
+
+
+# ------------------------------------------------------------------ 1-NN
+
+def test_nearest_neighbors_matches_kdtree():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(700, 3)).astype(np.float32)
+    tgt = rng.normal(size=(900, 3)).astype(np.float32)
+    tgt_pad = np.full((1024, 3), 1e9, np.float32)
+    tgt_pad[:900] = tgt
+    mask = np.zeros(1024, bool)
+    mask[:900] = True
+    idx, d2 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt_pad), jnp.asarray(mask))
+    dist, kidx = cKDTree(tgt).query(src, k=1)
+    np.testing.assert_array_equal(np.asarray(idx), kidx)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), dist, rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_neighbors_empty_target():
+    src = jnp.zeros((8, 3))
+    tgt = jnp.full((512, 3), 1e9)
+    idx, d2 = nearest_neighbors(src, tgt, jnp.zeros(512, bool))
+    assert np.isinf(np.asarray(d2)).all()
+
+
+# ------------------------------------------------------------------ ICP
+
+def _rigid(yaw, t):
+    c, s = np.cos(yaw), np.sin(yaw)
+    m = np.eye(4)
+    m[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    m[:3, 3] = t
+    return m
+
+
+def test_icp_recovers_rigid_transform():
+    rng = np.random.default_rng(1)
+    cloud = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    true = _rigid(0.05, [0.2, -0.1, 0.05])
+    target = cloud @ true[:3, :3].T + true[:3, 3]
+    pad = 2048
+    src = np.full((pad, 3), 1e9, np.float32)
+    src[:2000] = cloud
+    dst = np.full((pad, 3), 1e9, np.float32)
+    dst[:2000] = target
+    m = np.zeros(pad, bool)
+    m[:2000] = True
+    res = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                           jnp.asarray(m), threshold=1.0, max_iterations=50)
+    np.testing.assert_allclose(np.asarray(res.transformation), true, atol=2e-3)
+    assert float(res.fitness) > 0.99
+
+
+def test_icp_matches_numpy_oracle():
+    rng = np.random.default_rng(2)
+    cloud = rng.uniform(-5, 5, size=(1500, 3)).astype(np.float32)
+    moved = cloud @ _rigid(0.02, [0.05, 0.02, 0.0])[:3, :3].T + [0.05, 0.02, 0.0]
+    moved = (moved + rng.normal(scale=0.005, size=moved.shape)).astype(np.float32)
+    oracle_t = refb.icp_point_to_point(cloud.astype(np.float64),
+                                       moved.astype(np.float64), threshold=0.5)
+    pad = 1536
+    src = np.full((pad, 3), 1e9, np.float32)
+    src[:1500] = cloud
+    dst = np.full((pad, 3), 1e9, np.float32)
+    dst[:1500] = moved
+    m = np.zeros(pad, bool)
+    m[:1500] = True
+    res = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                           jnp.asarray(m), threshold=0.5)
+    np.testing.assert_allclose(np.asarray(res.transformation), oracle_t, atol=5e-3)
+
+
+def test_transform_points():
+    t = _rigid(0.3, [1, 2, 3])
+    pts = np.random.default_rng(3).normal(size=(10, 3))
+    got = np.asarray(transform_points(jnp.asarray(pts), jnp.asarray(t)))
+    np.testing.assert_allclose(got, pts @ t[:3, :3].T + t[:3, 3], rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------------ Hungarian
+
+@pytest.mark.parametrize("seed,n", [(0, 4), (1, 8), (2, 16), (3, 32)])
+def test_hungarian_square_matches_scipy(seed, n):
+    cost = np.random.default_rng(seed).uniform(0, 10, size=(n, n)).astype(np.float32)
+    col4row = np.asarray(solve_square(jnp.asarray(cost)))
+    ri, ci = scipy_lsa(cost)
+    ours = cost[np.arange(n), col4row].sum()
+    theirs = cost[ri, ci].sum()
+    assert abs(ours - theirs) < 1e-4, (ours, theirs)
+    assert len(set(col4row.tolist())) == n  # a valid permutation
+
+
+@pytest.mark.parametrize("r,c", [(3, 7), (7, 3), (5, 5)])
+def test_hungarian_rectangular_matches_scipy(r, c):
+    cost = np.random.default_rng(42).uniform(0, 10, size=(r, c)).astype(np.float32)
+    col4row, valid = linear_sum_assignment(jnp.asarray(cost))
+    ri, ci = scipy_lsa(cost)
+    got = {(i, int(col4row[i])) for i in range(r) if valid[i]}
+    assert len(got) == min(r, c)
+    ours = sum(cost[i, j] for i, j in got)
+    theirs = cost[ri, ci].sum()
+    assert abs(ours - theirs) < 1e-4
+
+
+def test_hungarian_masked():
+    cost = np.array([[1.0, 9.0, 9.0],
+                     [9.0, 1.0, 9.0],
+                     [9.0, 9.0, 1.0]], np.float32)
+    row_mask = jnp.asarray([True, False, True])
+    col_mask = jnp.asarray([True, True, False])
+    col4row, valid = linear_sum_assignment(jnp.asarray(cost), row_mask, col_mask)
+    assert bool(valid[0]) and int(col4row[0]) == 0
+    assert not bool(valid[1])
+    # row 2's only valid columns are 0,1; col 0 taken -> col 1 (cost 9) still valid
+    assert bool(valid[2]) and int(col4row[2]) == 1
+
+
+# ------------------------------------------------------------------ SOM
+
+def test_som_matches_oracle():
+    rng = np.random.default_rng(6)
+    g, res = 50, (0.2, 0.2)
+    # dense mixed evidence: many points per cell with interleaved static/moving
+    # hits exercises the order-dependent clamping exactly
+    pts = rng.uniform(-1.0, 1.0, size=(300, 3))
+    residuals = rng.choice([0.05, 0.4, 1.0], size=300)
+    som0 = np.full((g, g), 0.05)
+    expect = refb.update_som(som0, pts, residuals, 0.2, 0.6, g, res)
+    pad = 512
+    p = np.full((pad, 3), 1e9, np.float32)
+    p[:300] = pts
+    m = np.zeros(pad, bool)
+    m[:300] = True
+    r = np.zeros(pad, np.float32)
+    r[:300] = residuals
+    got = np.asarray(update_som(jnp.asarray(som0.astype(np.float32)), jnp.asarray(p),
+                                jnp.asarray(m), jnp.asarray(r), 0.2, 0.6, res))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
