@@ -1,0 +1,73 @@
+"""Stream-parallel DATMO: one feed per device over the 'stream' mesh axis.
+
+The multi-stream deployment shape from BASELINE.json configs[4] (4x1080p feeds,
+sustained per-stream DATMO): streams are embarrassingly parallel, so the full
+pipeline-A frame-pair step runs under ``shard_map`` with every array sharded on
+the leading stream axis; the only cross-stream communication is a ``psum`` of
+monitoring metrics (exercising ICI without touching the hot path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from datmo_using_optical_flow_tpu.config import PipelineAConfig
+from datmo_using_optical_flow_tpu.models.optical_flow_datmo import (StepCarry,
+                                                                    _step_impl)
+from datmo_using_optical_flow_tpu.models import tracker_a
+
+
+def init_stream_carry(cfg: PipelineAConfig, n_streams: int) -> StepCarry:
+    """Per-stream carry pytree with a leading stream axis."""
+    h, w = cfg.grid_shape
+    t = cfg.capacities.max_tracks
+
+    def rep(x):
+        return jnp.broadcast_to(x, (n_streams,) + x.shape)
+
+    table = jax.tree.map(rep, tracker_a.new_track_table(t))
+    return StepCarry(prev_vx=jnp.zeros((n_streams, h, w), jnp.float32),
+                     prev_vy=jnp.zeros((n_streams, h, w), jnp.float32),
+                     has_prev=jnp.zeros((n_streams,), bool),
+                     table=table)
+
+
+def make_multi_stream_step(cfg: PipelineAConfig, mesh: Mesh, fast_warp: bool = True):
+    """Build the jitted stream-parallel step: (bev1, bev2, carry) -> (carry, metrics).
+
+    ``bev1/bev2``: (n_streams, H, W) uint8, sharded on 'stream'.  Returns the
+    advanced carry plus a dict of psum'd global metrics (total live tracks,
+    total clustered cells) — the all-reduce rides ICI.
+    """
+    def per_stream(bev1, bev2, carry):
+        # shard_map passes blocks with the stream axis of size n_local (=1 per
+        # device when fully sharded); vmap over it to stay shape-agnostic
+        def one(b1, b2, c):
+            return _step_impl(b1, b2, c, cfg=cfg, fast_warp=fast_warp,
+                              use_pallas=False)
+
+        new_carry, outs = jax.vmap(one)(bev1, bev2, carry)
+        local_tracks = jnp.sum(new_carry.table.alive.astype(jnp.int32))
+        local_cells = jnp.sum(outs.cell_count)
+        metrics = {
+            "total_tracks": jax.lax.psum(local_tracks, "stream"),
+            "total_cells": jax.lax.psum(local_cells, "stream"),
+        }
+        return new_carry, outs, metrics
+
+    spec = P("stream")
+    carry_specs = StepCarry(prev_vx=spec, prev_vy=spec, has_prev=spec,
+                            table=tracker_a.TrackTable(*([spec] * 6)))
+    from datmo_using_optical_flow_tpu.models.optical_flow_datmo import StepOutputs
+
+    out_specs = (carry_specs,
+                 StepOutputs(*([spec] * 10), snapshot=tracker_a.TrackTable(*([spec] * 6))),
+                 {"total_tracks": P(), "total_cells": P()})
+    fn = shard_map(per_stream, mesh=mesh, in_specs=(spec, spec, carry_specs),
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
