@@ -28,21 +28,42 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_frames(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
-    """Synthetic 1080p 'CARLA-like' uint8 frames: smooth structure + moving blobs."""
+def make_frames(n: int, h: int, w: int, seed: int = 0, n_objects: int = 6) -> np.ndarray:
+    """Synthetic 1080p 'CARLA-like' uint8 frames: textured background + textured
+    objects translating at up to ~6 px/frame (so dense flow has real signal)."""
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = (np.sin(yy / 37.0) * np.cos(xx / 53.0) + 1.0) * 60.0
+
+    def smooth_noise(shape, scale=8):
+        small = rng.uniform(0, 255, (shape[0] // scale + 2, shape[1] // scale + 2))
+        ys = np.linspace(0, small.shape[0] - 1.001, shape[0])
+        xs = np.linspace(0, small.shape[1] - 1.001, shape[1])
+        y0, x0 = ys.astype(int), xs.astype(int)
+        fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+        a = small[y0][:, x0]
+        b = small[y0][:, x0 + 1]
+        c = small[y0 + 1][:, x0]
+        d = small[y0 + 1][:, x0 + 1]
+        return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+    base = smooth_noise((h, w)) * 0.4
+    objs = []
+    for _ in range(n_objects):
+        size = int(rng.integers(60, 140))
+        objs.append({
+            "tex": smooth_noise((size, size), scale=4) * 0.8 + 40,
+            "pos": rng.uniform([0.15 * h, 0.15 * w], [0.7 * h, 0.7 * w]),
+            "vel": rng.uniform(-6, 6, size=2),
+            "size": size,
+        })
     frames = np.empty((n, h, w), np.uint8)
-    centers = rng.uniform(0.2, 0.8, size=(6, 2)) * [h, w]
-    vels = rng.uniform(-8, 8, size=(6, 2))
     for t in range(n):
         img = base.copy()
-        for c, v in zip(centers, vels):
-            cy, cx = c + v * t
-            r2 = (yy - cy) ** 2 + (xx - cx) ** 2
-            img += 120.0 * np.exp(-r2 / (2 * 40.0 ** 2))
-        img += rng.normal(scale=2.0, size=(h, w))
+        for o in objs:
+            cy, cx = (o["pos"] + o["vel"] * t).astype(int)
+            s = o["size"]
+            y0, x0 = np.clip(cy, 0, h - s), np.clip(cx, 0, w - s)
+            img[y0:y0 + s, x0:x0 + s] = o["tex"]
+        img += rng.normal(scale=1.0, size=(h, w))
         frames[t] = np.clip(img, 0, 255).astype(np.uint8)
     return frames
 

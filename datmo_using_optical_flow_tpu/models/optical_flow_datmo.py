@@ -44,6 +44,7 @@ from datmo_using_optical_flow_tpu.utils.padding import compact_masked
 class StepOutputs(NamedTuple):
     """Per-frame-pair observables mirrored to host for artifacts/metrics."""
 
+    skip: jnp.ndarray           # bool: invalid BEV pair -> masked no-op (main.py:572-574)
     velocity_x: jnp.ndarray     # filtered vx grid (saved at main.py:610)
     velocity_y: jnp.ndarray
     magnitude: jnp.ndarray
@@ -131,6 +132,10 @@ class PipelineA:
                 carry, out = self.step(prev_bev, bev, carry)
                 timings["step"] += time.perf_counter() - t0
 
+                if bool(out.skip):
+                    # invalid pair skipped like the reference (main.py:572-574)
+                    prev_bev = bev
+                    continue
                 t0 = time.perf_counter()
                 self._write_pair_artifacts(sink, out, i - 1)
                 timings["artifacts"] += time.perf_counter() - t0
@@ -224,10 +229,18 @@ def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
                                               t.gamma)
     table = tracker_a.lifecycle(snapshot, t.m1, t.n1, t.m2, t.n2)
 
-    new_carry = StepCarry(prev_vx=velocity_x, prev_vy=velocity_y,
-                          has_prev=jnp.asarray(True), table=table)
-    outputs = StepOutputs(velocity_x=vx_f, velocity_y=vy_f, magnitude=magnitude,
-                          angular=angular, raw_velocity_x=velocity_x,
-                          raw_velocity_y=velocity_y, labels=labels, rows=rows,
-                          cols=cols, cell_count=count, snapshot=snapshot)
+    # failure handling (SURVEY.md §5.3): an invalid BEV pair (empty ROI produces
+    # an all-zero grid; reference's preprocess returns None, main.py:572-574 skips
+    # the pair) becomes a masked no-op — the carried state is left untouched so a
+    # bad frame never kills the stream.
+    skip = ~(jnp.any(bev1 > 0) & jnp.any(bev2 > 0))
+    advanced = StepCarry(prev_vx=velocity_x, prev_vy=velocity_y,
+                         has_prev=jnp.asarray(True), table=table)
+    new_carry = jax.tree.map(lambda new, old: jnp.where(skip, old, new),
+                             advanced, carry)
+    outputs = StepOutputs(skip=skip, velocity_x=vx_f, velocity_y=vy_f,
+                          magnitude=magnitude, angular=angular,
+                          raw_velocity_x=velocity_x, raw_velocity_y=velocity_y,
+                          labels=labels, rows=rows, cols=cols, cell_count=count,
+                          snapshot=snapshot)
     return new_carry, outputs

@@ -65,8 +65,10 @@ def make_multi_stream_step(cfg: PipelineAConfig, mesh: Mesh, fast_warp: bool = T
                             table=tracker_a.TrackTable(*([spec] * 6)))
     from datmo_using_optical_flow_tpu.models.optical_flow_datmo import StepOutputs
 
+    n_plain = len(StepOutputs._fields) - 1  # all but the snapshot pytree
     out_specs = (carry_specs,
-                 StepOutputs(*([spec] * 10), snapshot=tracker_a.TrackTable(*([spec] * 6))),
+                 StepOutputs(*([spec] * n_plain),
+                             snapshot=tracker_a.TrackTable(*([spec] * 6))),
                  {"total_tracks": P(), "total_cells": P()})
     fn = shard_map(per_stream, mesh=mesh, in_specs=(spec, spec, carry_specs),
                    out_specs=out_specs, check_vma=False)
