@@ -96,7 +96,7 @@ def main() -> None:
     @jax.jit
     def step(b1, b2, carry):
         new_carry, out = _step_impl(b1, b2, carry, cfg=cfg, fast_warp=True,
-                                    use_pallas=False)
+                                    use_pallas=True)
         return new_carry, out.cell_count, jnp.sum(new_carry.table.alive.astype(jnp.int32))
 
     log("compiling 1080p DATMO step (first compile is slow)...")

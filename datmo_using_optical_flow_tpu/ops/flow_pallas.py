@@ -24,26 +24,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _blur_solve_kernel(m_hbm, dx_ref, dy_ref, scratch, sem, *, winsize: int,
-                       tile_h: int):
+def _blur_solve_kernel(m_hbm, dx_ref, dy_ref, scratch, vscratch, sem, *,
+                       winsize: int, tile_h: int, window_h: int):
     """One row tile: DMA window -> vertical/horizontal box sums -> 2x2 solve."""
     r = winsize // 2
     t = pl.program_id(0)
     w_out = dx_ref.shape[1]
     inv = np.float32(1.0 / (winsize * winsize))
 
+    # window_h is tile_h + 2r rounded up to the sublane tiling (8); the caller
+    # pads the source so the over-read stays in bounds
     copy = pltpu.make_async_copy(
-        m_hbm.at[:, pl.ds(t * tile_h, tile_h + 2 * r), :], scratch, sem)
+        m_hbm.at[:, pl.ds(t * tile_h, window_h), :], scratch, sem)
     copy.start()
     copy.wait()
 
-    block = scratch[...]  # (5, tile_h + 2r, w_out + 2r)
-    vsum = block[:, 0:tile_h, :]
+    # static (python-int) slices keep Mosaic happy (dynamic sublane offsets must
+    # be 8-aligned); accumulating through the scratch ref caps live temporaries
+    vscratch[...] = scratch[:, 0:tile_h, :]
     for i in range(1, winsize):
-        vsum = vsum + block[:, i:i + tile_h, :]
-    hsum = vsum[:, :, 0:w_out]
+        vscratch[...] = vscratch[...] + scratch[:, i:i + tile_h, :]
+
+    hsum = vscratch[:, :, 0:w_out]
     for i in range(1, winsize):
-        hsum = hsum + vsum[:, :, i:i + w_out]
+        hsum = hsum + vscratch[:, :, i:i + w_out]
     mb = hsum * inv
 
     g11, g12, g22, h1, h2 = mb[0], mb[1], mb[2], mb[3], mb[4]
@@ -58,12 +62,16 @@ def box_blur_solve(M: jnp.ndarray, winsize: int) -> tuple[jnp.ndarray, jnp.ndarr
     float reassociation (same adds, different grouping)."""
     _, h, w = M.shape
     r = winsize // 2
-    tile_h = min(64, max(8, h))
+    tile_h = 16 if h >= 16 else 8  # 8-aligned tiles/DMA offsets
     pad_h = (-h) % tile_h
-    mp = jnp.pad(M, ((0, 0), (r, r + pad_h), (r, r)), mode="edge")
+    window_h = -(-(tile_h + 2 * r) // 8) * 8    # DMA row slices: 8-aligned
+    wp = -(-(w + 2 * r) // 128) * 128           # DMA lane dim: 128-aligned
+    extra_h = window_h - (tile_h + 2 * r)
+    mp = jnp.pad(M, ((0, 0), (r, r + pad_h + extra_h), (r, wp - w - r)), mode="edge")
     n_tiles = (h + pad_h) // tile_h
 
-    kernel = partial(_blur_solve_kernel, winsize=winsize, tile_h=tile_h)
+    kernel = partial(_blur_solve_kernel, winsize=winsize, tile_h=tile_h,
+                     window_h=window_h)
     dx, dy = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",  # tests run on the CPU mesh
@@ -76,7 +84,8 @@ def box_blur_solve(M: jnp.ndarray, winsize: int) -> tuple[jnp.ndarray, jnp.ndarr
         out_shape=(jax.ShapeDtypeStruct((h + pad_h, w), jnp.float32),
                    jax.ShapeDtypeStruct((h + pad_h, w), jnp.float32)),
         scratch_shapes=[
-            pltpu.VMEM((5, tile_h + 2 * r, w + 2 * r), jnp.float32),
+            pltpu.VMEM((5, window_h, wp), jnp.float32),
+            pltpu.VMEM((5, tile_h, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(mp)
