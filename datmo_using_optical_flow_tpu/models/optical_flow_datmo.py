@@ -101,27 +101,51 @@ class PipelineA:
     # -------------------------------------------------------------- host runner
 
     def process_files(self, pcd_files: Sequence[str], output_dir: str | None = None,
-                      save_png: bool = False, seed: int = 0,
-                      progress: bool = False) -> dict:
+                      save_png: bool = False, seed: int = 0, progress: bool = False,
+                      checkpoint_every: int = 0, checkpoint_path: str | None = None,
+                      resume: bool = False) -> dict:
         """Run the full pipeline over a PCD sequence, writing parity artifacts.
 
         Equivalent of ``process_multiple_frames(pcd_files, config)`` (main.py:541).
         Returns a summary dict with final tracks and per-stage timings.
+
+        Checkpoint/resume (SURVEY.md §5.4 — absent in the reference): with
+        ``checkpoint_every=K`` the carried pipeline state (track table, lifetimes,
+        previous velocity grids — the reference's entire mutable state,
+        main.py:552-559) snapshots to ``checkpoint_path`` (.npz) every K frames;
+        ``resume=True`` restores it and continues from the recorded frame.
         """
+        from datmo_using_optical_flow_tpu.utils.checkpoint import (load_checkpoint,
+                                                                   save_checkpoint)
+
         c = self.cfg
         sink = ArtifactSink(output_dir or c.output_folder, save_png=save_png)
         source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
         carry = self.init_carry()
         key = jax.random.PRNGKey(seed)
 
+        start_frame = 0
+        if resume and checkpoint_path:
+            data = np.load(checkpoint_path)
+            start_frame = int(data["step"])
+            carry = load_checkpoint(checkpoint_path, carry)
+            if progress:
+                print(f"resumed from {checkpoint_path} at frame {start_frame}")
+
         prev_bev = None
         timings = {"preprocess": 0.0, "step": 0.0, "artifacts": 0.0}
         n_pairs = 0
         for i, (pts, mask) in enumerate(source):
+            # per-frame key derivation is index-based so resume is bit-reproducible
+            k = jax.random.fold_in(key, i)
+            if start_frame and i < start_frame - 1:
+                continue  # frames before the resume point (and its predecessor)
             t0 = time.perf_counter()
-            key, k = jax.random.split(key)
             bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
             timings["preprocess"] += time.perf_counter() - t0
+            if start_frame and i == start_frame - 1:
+                prev_bev = bev  # re-derive only the pair predecessor
+                continue
 
             t0 = time.perf_counter()
             sink.save_bev(np.asarray(bev), i)
@@ -143,6 +167,9 @@ class PipelineA:
                 if progress:
                     print(f"pair {i - 1}: cells={int(out.cell_count)} "
                           f"tracks={int(np.asarray(carry.table.alive).sum())}")
+                if (checkpoint_every and checkpoint_path
+                        and (i + 1) % checkpoint_every == 0):
+                    save_checkpoint(checkpoint_path, carry, step=i + 1)
             prev_bev = bev
 
         tracks = self._tracks_dict(carry.table)

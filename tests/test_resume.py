@@ -1,0 +1,43 @@
+"""Checkpoint/resume of the streaming runner: resumed runs produce bit-identical
+final state to uninterrupted runs (SURVEY.md §5.4)."""
+
+import numpy as np
+
+from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
+from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget, SyntheticScene,
+                                                        write_synthetic_sequence)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    cfg = PipelineAConfig(
+        capacities=CapacityConfig(max_raw_points=8192, max_roi_points=1024,
+                                  max_cells=1024, max_clusters=8, max_tracks=16))
+    # a slow target that stays inside the ROI for all 6 frames
+    scene = SyntheticScene(seed=13, targets=(BoxTarget(center0=(4.0, 0.0, 0.75),
+                                                       velocity=(0.6, 0.3)),))
+    paths = write_synthetic_sequence(scene, str(tmp_path / "seq"), 6)
+    ckpt = str(tmp_path / "state.npz")
+
+    pipe = PipelineA(cfg, fast_warp=False)
+    # full run with checkpoints every 3 frames
+    full = pipe.process_files(paths, output_dir=str(tmp_path / "full"),
+                              checkpoint_every=3, checkpoint_path=ckpt)
+    import os
+
+    assert os.path.exists(ckpt)
+    data = np.load(ckpt)
+    assert int(data["step"]) == 6  # snapshot at frame 6
+
+    # run only the first 3 frames, checkpointing, then resume for the rest
+    p2 = PipelineA(cfg, fast_warp=False)
+    p2.process_files(paths[:3], output_dir=str(tmp_path / "part1"),
+                     checkpoint_every=3, checkpoint_path=ckpt)
+    resumed = p2.process_files(paths, output_dir=str(tmp_path / "part2"),
+                               checkpoint_path=ckpt, resume=True)
+
+    assert set(resumed["tracks"]) == set(full["tracks"])
+    for tid, st in full["tracks"].items():
+        np.testing.assert_allclose(resumed["tracks"][tid], st, atol=1e-6,
+                                   err_msg=f"track {tid}")
+    assert resumed["pairs"] == full["pairs"] - 2  # resumed from frame 3 -> pairs 3..5
