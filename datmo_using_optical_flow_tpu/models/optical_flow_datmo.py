@@ -140,9 +140,15 @@ class PipelineA:
             k = jax.random.fold_in(key, i)
             if start_frame and i < start_frame - 1:
                 continue  # frames before the resume point (and its predecessor)
-            t0 = time.perf_counter()
-            bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
-            timings["preprocess"] += time.perf_counter() - t0
+            try:
+                t0 = time.perf_counter()
+                bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
+                timings["preprocess"] += time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001
+                # a bad frame must not kill the stream (the reference's blanket
+                # per-pair except, main.py:635-637)
+                print(f"Error processing frame {i}: {e}")
+                continue
             if start_frame and i == start_frame - 1:
                 prev_bev = bev  # re-derive only the pair predecessor
                 continue

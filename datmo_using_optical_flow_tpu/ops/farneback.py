@@ -158,34 +158,43 @@ def _border_scale(h: int, w: int) -> np.ndarray:
     return (axis_scale(h)[:, None] * axis_scale(w)[None, :]).astype(np.float32)
 
 
-def pack_corner_pairs(R1: jnp.ndarray) -> jnp.ndarray:
-    """Pack (R1[s], R1[s+1]) x-neighbor pairs as bf16 halves of one f32 plane.
+def pack_corner_pairs(R1: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack (R1[s], R1[s+1]) x-neighbor pairs as int16 halves of one f32 plane.
 
     Precomputed once per pyramid level; lets :func:`update_matrices` fetch both
     x-corners of the bilinear stencil with a single gather (fast_warp mode).
+    int16 fixed-point with a per-channel scale keeps ~4x the effective mantissa
+    of bf16 (measured: worst-case EPE ~5e-3 px vs ~0.12 px with bf16 on hard
+    textured scenes).  Returns ``(packed (5,H,W) f32-typed, scale (5,1,1))``.
     """
-    c, h, w = R1.shape
     right = jnp.concatenate([R1[:, :, 1:], R1[:, :, -1:]], axis=2)
-    hi = jax.lax.bitcast_convert_type(R1.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32) << 16
-    lo = jax.lax.bitcast_convert_type(right.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+    absmax = jnp.max(jnp.abs(R1), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(absmax, 1e-20) * np.float32(1.0 / 32767.0)
+    qa = jnp.clip(jnp.round(R1 / scale), -32767, 32767).astype(jnp.int16)
+    qb = jnp.clip(jnp.round(right / scale), -32767, 32767).astype(jnp.int16)
+    hi = jax.lax.bitcast_convert_type(qa, jnp.uint16).astype(jnp.uint32) << 16
+    lo = jax.lax.bitcast_convert_type(qb, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32), scale
 
 
-def _unpack_pair(g: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _unpack_pair(g: jnp.ndarray, scale: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     u = jax.lax.bitcast_convert_type(g, jnp.uint32)
-    va = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
-    vb = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
-    return va.astype(jnp.float32), vb.astype(jnp.float32)
+    va = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.int16)
+    vb = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.int16)
+    return va.astype(jnp.float32) * scale, vb.astype(jnp.float32) * scale
 
 
 def update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
-                    dy: jnp.ndarray, R1_packed: jnp.ndarray | None = None) -> jnp.ndarray:
+                    dy: jnp.ndarray,
+                    R1_packed: tuple[jnp.ndarray, jnp.ndarray] | None = None
+                    ) -> jnp.ndarray:
     """Flow-compensated normal-equation planes M (5, H, W).
 
     The bilinear warp of R1 is flat linear gathers over (5, H*W) — the fastest
     gather formulation measured on TPU for this access pattern.  When
     ``R1_packed`` (from :func:`pack_corner_pairs`) is given, both x-corners come
-    from one gather at bf16 precision (~2x faster warp, ~1e-3 px EPE cost).
+    from one gather at int16 fixed-point precision (~2x faster warp, worst-case
+    ~5e-3 px EPE cost against the 0.1 px budget).
     """
     _, h, w = R0.shape
     xs = jnp.arange(w, dtype=dx.dtype)[None, :]
@@ -208,9 +217,10 @@ def update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
     a10 = ((1 - fx) * fy)[None]
     a11 = (fx * fy)[None]
     if R1_packed is not None:
-        packed = R1_packed.reshape(5, h * w)
-        ta, tb = _unpack_pair(packed[:, base].reshape(5, h, w))
-        tc, td = _unpack_pair(packed[:, base + w].reshape(5, h, w))
+        packed_planes, scale = R1_packed
+        packed = packed_planes.reshape(5, h * w)
+        ta, tb = _unpack_pair(packed[:, base].reshape(5, h, w), scale)
+        tc, td = _unpack_pair(packed[:, base + w].reshape(5, h, w), scale)
         r = a00 * ta + a01 * tb + a10 * tc + a11 * td
     else:
         flat = R1.reshape(5, h * w)
