@@ -116,11 +116,15 @@ class GMFAPipeline:
         return self._step(points, mask, carry, key)
 
     def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
-                      seed: int = 0, progress: bool = False) -> dict:
+                      seed: int = 0, progress: bool = False,
+                      plot_dir: str | None = None) -> dict:
         """Run GMFA over a PCD sequence (reference __main__, GMFA.py:424-536).
 
         Returns {"rows": track-log rows, "som": final SOM}; writes
         ``track_data.xlsx`` (or .csv fallback) like ``save_tracks_to_excel``.
+        With ``plot_dir``, saves the reference's three per-frame plots
+        (GMFA.py:526-528: SOM heat map, moving-vs-static, final positions) as
+        PNGs instead of blocking windows.
         """
         c = self.cfg
         source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
@@ -152,10 +156,37 @@ class GMFAPipeline:
             if progress:
                 print(f"frame {i}: moving={int(out.moving_count)} "
                       f"clusters={int(out.n_clusters)} tracks={int(alive.sum())}")
+            if plot_dir:
+                self._save_frame_plots(plot_dir, i, carry, out)
         if output_xlsx:
             save_tracks_to_excel(rows, output_xlsx)
         return {"rows": rows, "som": np.asarray(carry.som),
                 "elapsed": time.perf_counter() - t_start}
+
+
+    @staticmethod
+    def _save_frame_plots(plot_dir: str, frame: int, carry: GmfaCarry,
+                          out: GmfaOutputs) -> None:
+        """The three per-frame plots of GMFA.py:526-528, saved non-blocking."""
+        import os
+
+        from datmo_using_optical_flow_tpu.io import viz
+
+        os.makedirs(plot_dir, exist_ok=True)
+        n_mov = int(out.moving_count)
+        pts = np.asarray(out.moving_points)[:n_mov]
+        cls = np.full(n_mov, 2)
+        tb = carry.table
+        alive = np.asarray(tb.alive)
+        states = [np.asarray(tb.state[s]) for s in np.nonzero(alive)[0]]
+        viz.plot_som_heat_map(np.asarray(carry.som),
+                              save_path=os.path.join(plot_dir, f"som_frame_{frame}.png"))
+        viz.plot_moving_vs_static(pts, cls, states,
+                                  save_path=os.path.join(plot_dir,
+                                                         f"moving_static_frame_{frame}.png"))
+        viz.visualize_positions_and_velocities(
+            pts, cls, states,
+            save_path=os.path.join(plot_dir, f"positions_frame_{frame}.png"))
 
 
 def save_tracks_to_excel(rows: list[dict], output_file: str = "track_data.xlsx") -> None:
