@@ -10,9 +10,7 @@ device compute.
 from __future__ import annotations
 
 import os
-import queue
 import re
-import threading
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -50,12 +48,15 @@ def natsort_key(path: str):
 class DiskFrameSource:
     """Iterates PCD frames from disk as padded device-ready buffers.
 
-    A background thread decodes and pads the next frames while the device consumes
-    the current one (the streaming-runner half of SURVEY.md §1's layer (c)).
+    A pool of decode workers pads upcoming frames while the device consumes the
+    current one (the streaming-runner half of SURVEY.md §1's layer (c)); the
+    native C++ decoder releases the GIL during ctypes calls, so workers scale.
+    Frames are delivered strictly in order regardless of decode completion order.
     """
 
     def __init__(self, pcd_files: Sequence[str] | None = None, folder: str | None = None,
-                 capacity: int = 65536, prefetch: int = 2, dtype=np.float32):
+                 capacity: int = 65536, prefetch: int = 4, workers: int = 2,
+                 dtype=np.float32):
         if pcd_files is None:
             if folder is None:
                 raise ValueError("provide pcd_files or folder")
@@ -64,6 +65,7 @@ class DiskFrameSource:
         self.pcd_files = list(pcd_files)
         self.capacity = capacity
         self.prefetch = max(1, prefetch)
+        self.workers = max(1, workers)
         self.dtype = dtype
 
     def __len__(self) -> int:
@@ -73,31 +75,18 @@ class DiskFrameSource:
         return pad_points(read_pcd(path, dtype=self.dtype), self.capacity, self.dtype)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker() -> None:
-            try:
-                for path in self.pcd_files:
-                    if stop.is_set():
-                        return
-                    q.put(self._load(path))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+        n = len(self.pcd_files)
+        if n == 0:
+            return
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            window = self.prefetch
+            futures = {i: pool.submit(self._load, self.pcd_files[i])
+                       for i in range(min(window, n))}
+            for i in range(n):
+                item = futures.pop(i).result()
+                nxt = i + window
+                if nxt < n:
+                    futures[nxt] = pool.submit(self._load, self.pcd_files[nxt])
                 yield item
-        finally:
-            stop.set()
-            # drain so the worker can exit if blocked on put
-            while t.is_alive():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break

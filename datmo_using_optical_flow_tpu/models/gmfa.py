@@ -147,10 +147,11 @@ class GMFAPipeline:
                 continue  # reference keeps the stale previous cloud (GMFA.py:477)
             carry = new_carry
             tb = carry.table
-            alive = np.asarray(tb.alive)
+            # one batched device->host transfer per frame
+            alive, tid, state = jax.device_get((tb.alive, tb.tid, tb.state))
             for s in np.nonzero(alive)[0]:
-                st = np.asarray(tb.state[s])
-                rows.append({"Frame": i - 1, "Track ID": int(tb.tid[s]),
+                st = state[s]
+                rows.append({"Frame": i - 1, "Track ID": int(tid[s]),
                              "X": float(st[0]), "Y": float(st[1]),
                              "VX": float(st[2]), "VY": float(st[3])})
             if progress:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Iterator, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -184,25 +184,25 @@ class PipelineA:
 
     @staticmethod
     def _tracks_dict(table: tracker_a.TrackTable) -> dict[int, np.ndarray]:
-        alive = np.asarray(table.alive)
-        tid = np.asarray(table.tid)
-        state = np.asarray(table.state)
+        alive, tid, state = jax.device_get((table.alive, table.tid, table.state))
         return {int(tid[i]): state[i] for i in np.nonzero(alive)[0]}
 
     def _write_pair_artifacts(self, sink: ArtifactSink, out: StepOutputs,
                               pair_index: int) -> None:
+        # one batched device->host transfer (each np.asarray would be a separate
+        # ~30ms tunnel round trip)
+        host = jax.device_get(out)
         # reference saves raw grids (main.py:580) then overwrites with filtered
         # (main.py:610) under the same index -> net artifact is the filtered grid
-        vx = np.asarray(out.velocity_x)
-        vy = np.asarray(out.velocity_y)
-        sink.save_velocity_grid(vx, vy, pair_index)
-        sink.append_filtered_velocities(vx, vy, np.asarray(out.magnitude),
-                                        np.asarray(out.angular), pair_index)
-        n = int(out.cell_count)
-        labels = np.asarray(out.labels)[:n]
-        idx = np.stack([np.asarray(out.rows)[:n], np.asarray(out.cols)[:n]], axis=1)
+        sink.save_velocity_grid(host.velocity_x, host.velocity_y, pair_index)
+        sink.append_filtered_velocities(host.velocity_x, host.velocity_y,
+                                        host.magnitude, host.angular, pair_index)
+        n = int(host.cell_count)
+        labels = host.labels[:n]
+        idx = np.stack([host.rows[:n], host.cols[:n]], axis=1)
         sink.save_dbscan_results(labels, idx, pair_index)
-        tracks = self._tracks_dict(out.snapshot)
+        snap = host.snapshot
+        tracks = {int(snap.tid[i]): snap.state[i] for i in np.nonzero(snap.alive)[0]}
         sink.save_ekf_tracks(tracks, pair_index)
         sink.append_track_velocities(tracks, pair_index)
 

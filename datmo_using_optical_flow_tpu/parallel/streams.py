@@ -9,11 +9,11 @@ monitoring metrics (exercising ICI without touching the hot path).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from datmo_using_optical_flow_tpu.config import PipelineAConfig

@@ -21,14 +21,9 @@ import numpy as np
 
 
 def main(argv: list[str]) -> int:
-    import jax
-    import jax.numpy as jnp
-
     from datmo_using_optical_flow_tpu.config import (CapacityConfig, DbscanConfig,
                                                      GMFAConfig, IcpConfig,
                                                      PipelineAConfig)
-    from datmo_using_optical_flow_tpu.io.frames import pad_points
-    from datmo_using_optical_flow_tpu.io.pcd import read_pcd
     from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
     from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
     from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget, SyntheticScene,
