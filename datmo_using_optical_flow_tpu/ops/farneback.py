@@ -258,6 +258,17 @@ def box_blur5(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     return out * np.float32(1.0 / (winsize * winsize))
 
 
+def gauss_blur5(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    """OPTFLOW_FARNEBACK_GAUSSIAN aggregation: separable normalized Gaussian with
+    sigma = (winsize//2)*0.3, BORDER_REPLICATE (validated vs cv2 flags=256)."""
+    m = winsize // 2
+    x = np.arange(-m, m + 1, dtype=np.float64)
+    sigma = m * 0.3
+    g = np.exp(-x * x / (2 * sigma * sigma))
+    g = (g / g.sum()).astype(np.float32)
+    return _corr_axis(_corr_axis(M, g, -2, "edge"), g, -1, "edge")
+
+
 def solve_flow(Mb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel 2x2 solve with OpenCV's +1e-3 determinant regularizer."""
     g11, g12, g22, h1, h2 = Mb[0], Mb[1], Mb[2], Mb[3], Mb[4]
@@ -267,16 +278,18 @@ def solve_flow(Mb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                     winsize: int, iterations: int, use_pallas: bool = False,
-                    fast_warp: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One pyramid level: iterations x (matrices -> box blur -> solve)."""
-    if use_pallas:
+                    fast_warp: bool = False,
+                    gaussian: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level: iterations x (matrices -> blur -> solve)."""
+    if use_pallas and not gaussian:
         from datmo_using_optical_flow_tpu.ops import flow_pallas
 
         return flow_pallas.farneback_level(R0, R1, dx, dy, winsize, iterations)
+    blur = gauss_blur5 if gaussian else box_blur5
     packed = pack_corner_pairs(R1) if fast_warp else None
     M = update_matrices(R0, R1, dx, dy, packed)
     for i in range(iterations):
-        dx, dy = solve_flow(box_blur5(M, winsize))
+        dx, dy = solve_flow(blur(M, winsize))
         if i < iterations - 1:
             M = update_matrices(R0, R1, dx, dy, packed)
     return dx, dy
@@ -285,15 +298,21 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.n
 # ------------------------------------------------------------------ pyramid driver
 
 def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
-                    poly_sigma, use_pallas, fast_warp=False):
+                    poly_sigma, use_pallas, fast_warp=False, gaussian=False,
+                    flow0=None):
     h, w = im1.shape
     dx = dy = None
     for k, scale, lh, lw in level_sizes(h, w, pyr_scale, levels):
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
         if dx is None:
-            dx = jnp.zeros((lh, lw), dtype=jnp.float32)
-            dy = jnp.zeros((lh, lw), dtype=jnp.float32)
+            if flow0 is not None:  # OPTFLOW_USE_INITIAL_FLOW
+                f0 = jnp.moveaxis(flow0.astype(jnp.float32), -1, 0)  # (2, H, W)
+                f0 = resize_bilinear(f0, lh, lw) * np.float32(scale)
+                dx, dy = f0[0], f0[1]
+            else:
+                dx = jnp.zeros((lh, lw), dtype=jnp.float32)
+                dy = jnp.zeros((lh, lw), dtype=jnp.float32)
         else:
             inv = np.float32(1.0 / pyr_scale)
             dx = resize_bilinear(dx, lh, lw) * inv
@@ -304,27 +323,39 @@ def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
             f = resize_bilinear(f, lh, lw)
             Rs.append(poly_exp(f, poly_n, poly_sigma))
         dx, dy = farneback_level(Rs[0], Rs[1], dx, dy, winsize, iterations, use_pallas,
-                                 fast_warp)
+                                 fast_warp, gaussian)
     return jnp.stack([dx, dy], axis=-1)
 
 
 _farneback = jax.jit(_farneback_impl,
                      static_argnames=("pyr_scale", "levels", "winsize", "iterations",
-                                      "poly_n", "poly_sigma", "use_pallas", "fast_warp"))
+                                      "poly_n", "poly_sigma", "use_pallas", "fast_warp",
+                                      "gaussian"))
+
+OPTFLOW_USE_INITIAL_FLOW = 4     # cv2 flag values
+OPTFLOW_FARNEBACK_GAUSSIAN = 256
 
 
 def farneback_flow(im1: jnp.ndarray, im2: jnp.ndarray,
                    cfg: FarnebackConfig = FarnebackConfig(),
-                   use_pallas: bool = False, fast_warp: bool = False) -> jnp.ndarray:
+                   use_pallas: bool = False, fast_warp: bool = False,
+                   flow0: jnp.ndarray | None = None) -> jnp.ndarray:
     """Dense flow im1 -> im2; returns (H, W, 2) [dx, dy] in pixels/frame.
 
     Drop-in equivalent of the reference's ``cv2.calcOpticalFlowFarneback(bev1, bev2,
-    None, **farneback_params)`` (``Optical_flow/main.py:142``) with ``flags=0``.
-    ``fast_warp`` trades exactness (~1e-3 px EPE vs cv2 instead of ~1e-5) for a
-    ~2x faster warp stage via packed bf16 corner pairs.
+    None, **farneback_params)`` (``Optical_flow/main.py:142``).  ``cfg.flags``
+    honors cv2's OPTFLOW_FARNEBACK_GAUSSIAN (Gaussian window aggregation) and
+    OPTFLOW_USE_INITIAL_FLOW (seed from ``flow0``).  ``fast_warp`` trades
+    exactness (worst-case ~5e-2 px EPE vs ~3e-5) for a ~2x faster warp stage via
+    packed int16 corner pairs.
     """
+    gaussian = bool(cfg.flags & OPTFLOW_FARNEBACK_GAUSSIAN)
+    if (cfg.flags & OPTFLOW_USE_INITIAL_FLOW) and flow0 is None:
+        raise ValueError("flags request OPTFLOW_USE_INITIAL_FLOW but flow0 is None")
+    init = flow0 if (cfg.flags & OPTFLOW_USE_INITIAL_FLOW) else None
     return _farneback(im1, im2, cfg.pyr_scale, cfg.levels, cfg.winsize,
-                      cfg.iterations, cfg.poly_n, cfg.poly_sigma, use_pallas, fast_warp)
+                      cfg.iterations, cfg.poly_n, cfg.poly_sigma, use_pallas,
+                      fast_warp, gaussian, init)
 
 
 def farneback_flow_batched(im1: jnp.ndarray, im2: jnp.ndarray,

@@ -220,6 +220,24 @@ def update_matrices(R0: np.ndarray, R1: np.ndarray, flow: np.ndarray) -> np.ndar
     return M
 
 
+def gauss_blur5(M: np.ndarray, winsize: int) -> np.ndarray:
+    """OPTFLOW_FARNEBACK_GAUSSIAN aggregation: separable normalized Gaussian
+    (sigma = (winsize//2)*0.3), BORDER_REPLICATE (validated vs cv2 flags=256)."""
+    m = winsize // 2
+    x = np.arange(-m, m + 1, dtype=np.float64)
+    sigma = m * 0.3
+    g = np.exp(-x * x / (2 * sigma * sigma))
+    g /= g.sum()
+    p = np.pad(M.astype(np.float64), ((m, m), (m, m), (0, 0)), mode="edge")
+    tmp = np.zeros((M.shape[0], p.shape[1], 5))
+    for i, wgt in enumerate(g):
+        tmp += wgt * p[i:i + M.shape[0]]
+    out = np.zeros_like(M, dtype=np.float64)
+    for i, wgt in enumerate(g):
+        out += wgt * tmp[:, i:i + M.shape[1]]
+    return out
+
+
 def box_blur5(M: np.ndarray, winsize: int) -> np.ndarray:
     """Normalized box filter with BORDER_REPLICATE, double accumulation."""
     m = winsize // 2
@@ -248,10 +266,11 @@ def solve_flow(Mb: np.ndarray) -> np.ndarray:
     return flow
 
 
-def farneback_level(R0, R1, flow, winsize, iterations):
+def farneback_level(R0, R1, flow, winsize, iterations, gaussian: bool = False):
+    blur = gauss_blur5 if gaussian else box_blur5
     M = update_matrices(R0, R1, flow)
     for i in range(iterations):
-        flow = solve_flow(box_blur5(M, winsize))
+        flow = solve_flow(blur(M, winsize).astype(np.float32))
         if i < iterations - 1:
             M = update_matrices(R0, R1, flow)
     return flow
@@ -275,8 +294,10 @@ def level_sizes(h: int, w: int, pyr_scale: float, levels: int):
 
 
 def calc_flow(im1: np.ndarray, im2: np.ndarray, pyr_scale=0.3, levels=5, winsize=15,
-              iterations=5, poly_n=5, poly_sigma=5.0, flow0=None) -> np.ndarray:
-    """Full pyramidal Farnebäck flow (flags=0 path: box-blur aggregation)."""
+              iterations=5, poly_n=5, poly_sigma=5.0, flow0=None,
+              gaussian: bool = False) -> np.ndarray:
+    """Full pyramidal Farnebäck flow (box or Gaussian aggregation; optional
+    OPTFLOW_USE_INITIAL_FLOW via ``flow0``)."""
     h, w = im1.shape
     prev_flow = None
     flow = None
@@ -295,6 +316,6 @@ def calc_flow(im1: np.ndarray, im2: np.ndarray, pyr_scale=0.3, levels=5, winsize
             f = gaussian_blur(im.astype(np.float32), smooth_sz, sigma)
             f = resize_bilinear(f, lh, lw)
             Rs.append(poly_exp(f, poly_n, poly_sigma))
-        flow = farneback_level(Rs[0], Rs[1], flow, winsize, iterations)
+        flow = farneback_level(Rs[0], Rs[1], flow, winsize, iterations, gaussian)
         prev_flow = flow
     return flow

@@ -112,3 +112,36 @@ def test_level_sizes_schedule():
     # 1080p: three downscaled levels (324, 97, 29->stop at 97)
     sizes = npf.level_sizes(1080, 1920, 0.3, 5)
     assert [s[0] for s in sizes] == [2, 1, 0]
+
+
+def test_flow_gaussian_aggregation_matches_cv2(pair):
+    """OPTFLOW_FARNEBACK_GAUSSIAN path (flags=256)."""
+    img1, img2 = pair
+    cfg = FarnebackConfig(pyr_scale=0.5, levels=2, iterations=3, poly_sigma=1.2,
+                          flags=cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
+    ours = fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg)
+    theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.5, 2, 15, 3, 5, 1.2,
+                                          cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
+    assert _epe(ours, theirs).max() < 1e-3
+
+
+def test_flow_initial_flow_matches_cv2(pair):
+    """OPTFLOW_USE_INITIAL_FLOW path (flags=4)."""
+    img1, img2 = pair
+    init = np.full(img1.shape + (2,), 1.0, np.float32)
+    cfg = FarnebackConfig(pyr_scale=0.5, levels=2, iterations=3, poly_sigma=1.2,
+                          flags=cv2.OPTFLOW_USE_INITIAL_FLOW)
+    ours = fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg,
+                             flow0=jnp.asarray(init))
+    theirs = cv2.calcOpticalFlowFarneback(img1, img2, init.copy(), 0.5, 2, 15, 3,
+                                          5, 1.2, cv2.OPTFLOW_USE_INITIAL_FLOW)
+    assert _epe(ours, theirs).max() < 1e-3
+
+
+def test_flow_initial_flow_requires_flow0(pair):
+    import pytest
+
+    img1, img2 = pair
+    cfg = FarnebackConfig(flags=cv2.OPTFLOW_USE_INITIAL_FLOW)
+    with pytest.raises(ValueError, match="flow0"):
+        fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg)
