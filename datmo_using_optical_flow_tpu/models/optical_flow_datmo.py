@@ -231,9 +231,12 @@ def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
                ) -> tuple[StepCarry, StepOutputs]:
     c = cfg
     fb = c.farneback
+    from datmo_using_optical_flow_tpu.ops.farneback import OPTFLOW_FARNEBACK_GAUSSIAN
+
     flow = _farneback_impl(bev1.astype(jnp.float32), bev2.astype(jnp.float32),
                            fb.pyr_scale, fb.levels, fb.winsize, fb.iterations,
-                           fb.poly_n, fb.poly_sigma, use_pallas, fast_warp)
+                           fb.poly_n, fb.poly_sigma, use_pallas, fast_warp,
+                           gaussian=bool(fb.flags & OPTFLOW_FARNEBACK_GAUSSIAN))
     velocity_x, velocity_y, _ = mask_ops.velocity_from_flow(flow, c.x_range, c.y_range)
 
     # acceleration (defect #1 fixed: only when a previous grid exists); feeds the
