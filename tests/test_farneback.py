@@ -1,6 +1,6 @@
 """Farnebäck flow parity tests vs cv2.calcOpticalFlowFarneback — the reference's
 actual kernel (``Optical_flow/main.py:132-142``).  BASELINE.md target: EPE <= 0.1 px;
-the implementation lands ~1e-5 px (exact mode) / ~4e-3 px (fast_warp)."""
+the implementation lands ~1e-5 px (exact mode); fast_warp worst-case ~6e-2 px."""
 
 import cv2
 import jax.numpy as jnp
