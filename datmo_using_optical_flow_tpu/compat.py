@@ -98,8 +98,7 @@ def compute_velocity_vectors(bev1: np.ndarray, bev2: np.ndarray, x_range, y_rang
     from datmo_using_optical_flow_tpu.ops.farneback import farneback_flow
     from datmo_using_optical_flow_tpu.ops.masks import velocity_from_flow
 
-    fb = FarnebackConfig(**{k: v for k, v in (farneback_params or {}).items()
-                            if k != "flags"})
+    fb = FarnebackConfig(**(farneback_params or {}))
     flow = farneback_flow(jnp.asarray(bev1, jnp.float32),
                           jnp.asarray(bev2, jnp.float32), fb)
     vx, vy, av = velocity_from_flow(flow, tuple(x_range), tuple(y_range))
