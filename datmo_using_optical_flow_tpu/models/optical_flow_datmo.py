@@ -55,6 +55,7 @@ class StepOutputs(NamedTuple):
     rows: jnp.ndarray
     cols: jnp.ndarray
     cell_count: jnp.ndarray
+    cell_overflow: jnp.ndarray  # bool: valid cells hit max_cells (coverage truncated)
     snapshot: tracker_a.TrackTable  # post-association table (artifact at main.py:619)
 
 
@@ -173,6 +174,9 @@ class PipelineA:
                 if progress:
                     print(f"pair {i - 1}: cells={int(out.cell_count)} "
                           f"tracks={int(np.asarray(carry.table.alive).sum())}")
+                if bool(out.cell_overflow):
+                    print(f"pair {i - 1}: WARNING valid cells exceed max_cells="
+                          f"{self.cfg.capacities.max_cells}; clustering truncated")
                 if (checkpoint_every and checkpoint_path
                         and (i + 1) % checkpoint_every == 0):
                     save_checkpoint(checkpoint_path, carry, step=i + 1)
@@ -274,9 +278,12 @@ def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
                          has_prev=jnp.asarray(True), table=table)
     new_carry = jax.tree.map(lambda new, old: jnp.where(skip, old, new),
                              advanced, carry)
+    # no silent caps: surface when the valid-cell set was truncated to capacity
+    total_valid = jnp.sum(valid.astype(jnp.int32))
     outputs = StepOutputs(skip=skip, velocity_x=vx_f, velocity_y=vy_f,
                           magnitude=magnitude, angular=angular,
                           raw_velocity_x=velocity_x, raw_velocity_y=velocity_y,
                           labels=labels, rows=rows, cols=cols, cell_count=count,
+                          cell_overflow=total_valid > c.capacities.max_cells,
                           snapshot=snapshot)
     return new_carry, outputs

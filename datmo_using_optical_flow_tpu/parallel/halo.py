@@ -15,12 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def halo_exchange_rows(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
+def halo_exchange_rows(x: jnp.ndarray, radius: int, axis_name: str,
+                       edge_mode: str = "edge") -> jnp.ndarray:
     """Pad a row-sharded block with ``radius`` rows from each mesh neighbor.
 
     ``x``: this device's (H_local, W) block.  Returns (H_local + 2*radius, W);
-    the global edge devices replicate their own boundary rows (matching the
-    'edge' padding the unsharded stencils use).
+    at the global image edges the halo is synthesized per ``edge_mode``:
+    'edge' replication (the polyexp/box-filter convention) or 'reflect101'
+    (cv2.GaussianBlur's BORDER_REFLECT_101).
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -31,9 +33,13 @@ def halo_exchange_rows(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarr
     up = [(i + 1, i) for i in range(n - 1)]     # top of i+1 -> halo-bottom of i
     from_above = jax.lax.ppermute(bot, axis_name, down)
     from_below = jax.lax.ppermute(top, axis_name, up)
-    # global edges: replicate own edge rows (edge-pad semantics)
-    edge_top = jnp.repeat(x[:1], radius, axis=0)
-    edge_bot = jnp.repeat(x[-1:], radius, axis=0)
+    # global edges: synthesize the out-of-image halo rows
+    if edge_mode == "reflect101":
+        edge_top = x[1:radius + 1][::-1]
+        edge_bot = x[-radius - 1:-1][::-1]
+    else:
+        edge_top = jnp.repeat(x[:1], radius, axis=0)
+        edge_bot = jnp.repeat(x[-1:], radius, axis=0)
     first = idx == 0
     last = idx == n - 1
     top_halo = jnp.where(first, edge_top, from_above)

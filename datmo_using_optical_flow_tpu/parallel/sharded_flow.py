@@ -127,3 +127,85 @@ def sharded_farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
             M = sharded_update_matrices(R0, R1ext, dx, dy, axis_name, warp_halo,
                                         h_global)
     return dx, dy
+
+
+def sharded_farneback_flow(img1_block: jnp.ndarray, img2_block: jnp.ndarray,
+                           axis_name: str, pyr_scale: float = 0.3, levels: int = 5,
+                           winsize: int = 15, iterations: int = 5, poly_n: int = 5,
+                           poly_sigma: float = 5.0, warp_halo: int = 16,
+                           fast_warp: bool = False) -> jnp.ndarray:
+    """Full pyramidal Farnebäck flow on row-sharded images.
+
+    Level scheduling: the downsampled levels cost ~``pyr_scale²`` of level 0
+    (e.g. ~10% combined at pyr_scale 0.3), so they run **replicated** from an
+    all-gathered copy of the images (a few MB over ICI), while the dominant
+    full-resolution level runs **row-sharded** with halo-exchange stencils and
+    the halo-bounded warp.  ``img*_block``: this device's (H_local, W) rows;
+    returns this device's (H_local, W, 2) flow block.  Bit-compatible with the
+    unsharded flow while level-0 vertical displacement stays within
+    ``warp_halo`` rows.
+    """
+    from datmo_using_optical_flow_tpu.oracle.np_farneback import level_sizes
+    from datmo_using_optical_flow_tpu.ops.farneback import (_farneback_impl,
+                                                            gaussian_blur,
+                                                            resize_bilinear)
+
+    hl, w = img1_block.shape
+    n = jax.lax.psum(1, axis_name)
+    h_global = hl * n
+    idx = jax.lax.axis_index(axis_name)
+
+    sizes = level_sizes(h_global, w, pyr_scale, levels)
+    # coarse levels (k >= 1) replicated on the gathered image
+    im1_full = jax.lax.all_gather(img1_block, axis_name, tiled=True)
+    im2_full = jax.lax.all_gather(img2_block, axis_name, tiled=True)
+    n_coarse = len(sizes) - 1
+    if n_coarse > 0:
+        # run the coarse pyramid (same schedule minus level 0), replicated
+        dxc = dyc = None
+        for k, scale, lh, lw in sizes[:-1]:
+            sigma = (1.0 / scale - 1.0) * 0.5
+            smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+            if dxc is None:
+                dxc = jnp.zeros((lh, lw), jnp.float32)
+                dyc = jnp.zeros((lh, lw), jnp.float32)
+            else:
+                inv = np.float32(1.0 / pyr_scale)
+                dxc = resize_bilinear(dxc, lh, lw) * inv
+                dyc = resize_bilinear(dyc, lh, lw) * inv
+            from datmo_using_optical_flow_tpu.ops.farneback import (farneback_level,
+                                                                    poly_exp)
+
+            Rs = []
+            for im in (im1_full, im2_full):
+                f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
+                f = resize_bilinear(f, lh, lw)
+                Rs.append(poly_exp(f, poly_n, poly_sigma))
+            dxc, dyc = farneback_level(Rs[0], Rs[1], dxc, dyc, winsize, iterations,
+                                       fast_warp=fast_warp)
+        # upsample to full res and take this device's rows
+        inv = np.float32(1.0 / pyr_scale)
+        dx_full = resize_bilinear(dxc, h_global, w) * inv
+        dy_full = resize_bilinear(dyc, h_global, w) * inv
+        dx = jax.lax.dynamic_slice_in_dim(dx_full, idx * hl, hl, 0)
+        dy = jax.lax.dynamic_slice_in_dim(dy_full, idx * hl, hl, 0)
+    else:
+        dx = jnp.zeros((hl, w), jnp.float32)
+        dy = jnp.zeros((hl, w), jnp.float32)
+
+    # level 0: sharded polyexp + level iterations (level-0 prep blur is 3-tap)
+    from datmo_using_optical_flow_tpu.ops.farneback import _corr_axis
+    from datmo_using_optical_flow_tpu.oracle.np_farneback import gaussian_kernel
+
+    k3 = gaussian_kernel(3, 0.0).astype(np.float32)
+    ext = halo_exchange_rows(img1_block.astype(jnp.float32), 1, axis_name,
+                             edge_mode="reflect101")
+    f1 = _corr_axis(_corr_axis(ext, k3, -2, "reflect")[1:1 + hl], k3, -1, "reflect")
+    ext = halo_exchange_rows(img2_block.astype(jnp.float32), 1, axis_name,
+                             edge_mode="reflect101")
+    f2 = _corr_axis(_corr_axis(ext, k3, -2, "reflect")[1:1 + hl], k3, -1, "reflect")
+    R0 = sharded_poly_exp(f1, poly_n, poly_sigma, axis_name)
+    R1 = sharded_poly_exp(f2, poly_n, poly_sigma, axis_name)
+    dx, dy = sharded_farneback_level(R0, R1, dx, dy, winsize, iterations, axis_name,
+                                     h_global, warp_halo)
+    return jnp.stack([dx, dy], axis=-1)

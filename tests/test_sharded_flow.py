@@ -55,3 +55,30 @@ def test_sharded_level_matches_unsharded(pair):
     dx_s, dy_s = jax.jit(fn)(R0, R1, zero, zero)
     np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_e), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_e), atol=1e-4)
+
+
+def test_sharded_full_flow_matches_unsharded():
+    """Full pyramid: coarse levels replicated, level 0 row-sharded — matches the
+    unsharded flow (small displacement within the warp halo)."""
+    from datmo_using_optical_flow_tpu.parallel.sharded_flow import sharded_farneback_flow
+    from datmo_using_optical_flow_tpu.config import FarnebackConfig
+
+    rng = np.random.default_rng(3)
+    img1 = cv2.GaussianBlur(rng.uniform(0, 255, (64, 80)).astype(np.float32), (0, 0), 3)
+    img2 = cv2.warpAffine(img1, np.float32([[1, 0, 1.1], [0, 1, -0.7]]), (80, 64))
+    cfg = FarnebackConfig(pyr_scale=0.5, levels=2, iterations=3)
+    expect = np.asarray(fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("space",))
+    fn = shard_map(
+        lambda a, b: sharded_farneback_flow(a, b, "space", pyr_scale=0.5, levels=2,
+                                            iterations=3, warp_halo=8),
+        mesh=mesh, in_specs=(P("space"), P("space")),
+        out_specs=P("space"), check_vma=False)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(img1), jnp.asarray(img2)))
+    epe = np.linalg.norm(got - expect, axis=-1)
+    assert epe.max() < 1e-3, epe.max()
+
+    # and against cv2 directly
+    theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.5, 2, 15, 3, 5, 5.0, 0)
+    assert np.linalg.norm(got - theirs, axis=-1).max() < 1e-3
