@@ -89,9 +89,9 @@ class GMFAPipeline:
     def __init__(self, cfg: GMFAConfig | None = None, max_moving_points: int = 8192):
         self.cfg = (cfg or GMFAConfig()).validate()
         self.max_moving = max_moving_points
-        self._preprocess = jax.jit(partial(_gmfa_preprocess_impl, cfg=self.cfg))
-        self._step = jax.jit(partial(_gmfa_step_impl, cfg=self.cfg,
-                                     max_moving=max_moving_points))
+        # cached per config so equal-config pipelines share compilations
+        self._preprocess = _cached_gmfa_preprocess(self.cfg)
+        self._step = _cached_gmfa_step(self.cfg, max_moving_points)
 
     def preprocess(self, points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array):
         """flip -> RANSAC -> ROI -> densify (GMFA ``preprocess_pcd``, GMFA.py:31-55).
@@ -207,6 +207,19 @@ def save_tracks_to_excel(rows: list[dict], output_file: str = "track_data.xlsx")
 
 
 # ------------------------------------------------------------------ jitted impls
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_gmfa_preprocess(cfg: GMFAConfig):
+    return jax.jit(partial(_gmfa_preprocess_impl, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_gmfa_step(cfg: GMFAConfig, max_moving: int):
+    return jax.jit(partial(_gmfa_step_impl, cfg=cfg, max_moving=max_moving))
+
 
 def _gmfa_preprocess_impl(points, mask, key, cfg: GMFAConfig):
     c = cfg

@@ -74,10 +74,10 @@ class PipelineA:
         self.cfg = (cfg or PipelineAConfig()).validate()
         self.fast_warp = fast_warp
         self.use_pallas = use_pallas
-        c = self.cfg
-        self._preprocess = jax.jit(partial(_preprocess_impl, cfg=c))
-        self._step = jax.jit(partial(_step_impl, cfg=c, fast_warp=fast_warp,
-                                     use_pallas=use_pallas))
+        # jitted programs are cached per (cfg, flags): two pipelines with equal
+        # configs share compilations (configs are frozen/hashable dataclasses)
+        self._preprocess = _cached_preprocess(self.cfg)
+        self._step = _cached_step(self.cfg, fast_warp, use_pallas)
 
     # -------------------------------------------------------------- device fns
 
@@ -98,6 +98,30 @@ class PipelineA:
              ) -> tuple[StepCarry, StepOutputs]:
         """One frame-pair DATMO step (main.py:565-634 healthy path)."""
         return self._step(bev1, bev2, carry)
+
+    def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry
+                   ) -> tuple[StepCarry, StepOutputs]:
+        """Process a whole clip in ONE device program: ``lax.scan`` over the
+        (T, H, W) BEV stack's consecutive pairs with O(1) carried state
+        (SURVEY.md §5.7's temporal scaling axis).  Returns the final carry and
+        T-1 stacked per-pair outputs.
+
+        Note: on the current backend, compiling a scan over the full 1080p step
+        is slow — prefer :meth:`step` in a host loop for interactive use; the
+        scan shines for long clips at moderate grid sizes.
+        """
+        cfg, fast_warp, use_pallas = self.cfg, self.fast_warp, self.use_pallas
+
+        @jax.jit
+        def run(stack, c0):
+            def body(c, pair):
+                return _step_impl(pair[0], pair[1], c, cfg=cfg, fast_warp=fast_warp,
+                                  use_pallas=use_pallas)
+
+            pairs = jnp.stack([stack[:-1], stack[1:]], axis=1)
+            return jax.lax.scan(body, c0, pairs)
+
+        return run(bevs, carry)
 
     # -------------------------------------------------------------- host runner
 
@@ -212,6 +236,20 @@ class PipelineA:
 
 
 # ------------------------------------------------------------------ jitted impls
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_preprocess(cfg: PipelineAConfig):
+    return jax.jit(partial(_preprocess_impl, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool):
+    return jax.jit(partial(_step_impl, cfg=cfg, fast_warp=fast_warp,
+                           use_pallas=use_pallas))
+
 
 def _preprocess_impl(points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
                      cfg: PipelineAConfig) -> jnp.ndarray:

@@ -127,3 +127,21 @@ def test_pipeline_deterministic(cfg, bev_seq):
         carry, out = pipe.step(jnp.asarray(bev_seq[0]), jnp.asarray(bev_seq[1]), carry)
         outs.append(np.asarray(out.velocity_x))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_scan_steps_matches_host_loop(cfg, bev_seq):
+    """lax.scan over a clip == the per-pair host loop (same carry evolution)."""
+    pipe = PipelineA(cfg, fast_warp=False)
+    stack = jnp.asarray(np.stack(bev_seq))
+    final_scan, outs = pipe.scan_steps(stack, pipe.init_carry())
+
+    carry = pipe.init_carry()
+    for i in range(len(bev_seq) - 1):
+        carry, out = pipe.step(jnp.asarray(bev_seq[i]), jnp.asarray(bev_seq[i + 1]),
+                               carry)
+        np.testing.assert_allclose(np.asarray(outs.velocity_x[i]),
+                                   np.asarray(out.velocity_x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(final_scan.table.alive),
+                                  np.asarray(carry.table.alive))
+    np.testing.assert_allclose(np.asarray(final_scan.table.state),
+                               np.asarray(carry.table.state), atol=1e-4)
