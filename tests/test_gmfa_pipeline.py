@@ -155,3 +155,56 @@ def test_gmfa_process_files(cfg, tmp_path):
     import os
 
     assert os.path.exists(out_file) or os.path.exists(out_file.replace(".xlsx", ".csv"))
+
+
+def test_gmfa_two_targets_matches_oracle(cfg):
+    """Two moving boxes: multi-cluster Hungarian association, births, and track
+    states must match the oracle across frames."""
+    from datmo_using_optical_flow_tpu.io.frames import pad_points
+
+    scene = SyntheticScene(seed=33, targets=(
+        BoxTarget(center0=(5.0, -4.0, 0.75), velocity=(1.5, 0.8)),
+        BoxTarget(center0=(-6.0, 5.0, 0.75), velocity=(-1.0, -1.2),
+                  size=(3.0, 1.6, 1.4), points_per_frame=500),
+    ))
+    pipe = GMFAPipeline(cfg, max_moving_points=8192)
+    frames = []
+    key = jax.random.PRNGKey(17)
+    for i in range(4):
+        pts = synthetic_frame(scene, i).astype(np.float32)
+        padded, mask = pad_points(pts, cfg.capacities.max_raw_points)
+        key, k = jax.random.split(key)
+        ex, exmask = pipe.preprocess(jnp.asarray(padded), jnp.asarray(mask), k)
+        frames.append((np.asarray(ex), np.asarray(exmask)))
+    dense = [ex[m] for ex, m in frames]
+
+    tracks, prev_pos = [], {}
+    som = np.full((cfg.som.grid_size,) * 2, cfg.som.init_value)
+    rng = np.random.default_rng(0)
+    oracle = []
+    for i in range(1, 4):
+        res = _oracle_frame(dense[i - 1].astype(np.float64), dense[i].astype(np.float64),
+                            cfg, tracks, prev_pos, som, rng)
+        assert res is not None
+        tracks, som, prev_pos = res["tracks"], res["som"], res["prev_positions"]
+        oracle.append(res)
+
+    carry = pipe.init_carry()._replace(prev_points=jnp.asarray(frames[0][0]),
+                                       prev_mask=jnp.asarray(frames[0][1]))
+    key = jax.random.PRNGKey(5)
+    for i in range(1, 4):
+        key, k = jax.random.split(key)
+        carry, out = pipe.step(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]),
+                               carry, k)
+        assert not bool(out.skip)
+        o = oracle[i - 1]
+        got = np.asarray(carry.table.state)[np.asarray(carry.table.alive)]
+        exp = np.array([t["state"].flatten() for t in o["tracks"]])
+        assert got.shape[0] == exp.shape[0] >= 2, f"frame {i}: {got.shape[0]} tracks"
+        gs, es = got[np.argsort(got[:, 0])], exp[np.argsort(exp[:, 0])]
+        # positions tight; velocities are finite differences /dt=0.1, which
+        # amplifies the f32-vs-f64 centroid drift tenfold
+        np.testing.assert_allclose(gs[:, :2], es[:, :2], atol=5e-2,
+                                   err_msg=f"frame {i} positions")
+        np.testing.assert_allclose(gs[:, 2:], es[:, 2:], atol=0.5,
+                                   err_msg=f"frame {i} velocities")
