@@ -145,3 +145,15 @@ def test_scan_steps_matches_host_loop(cfg, bev_seq):
                                   np.asarray(carry.table.alive))
     np.testing.assert_allclose(np.asarray(final_scan.table.state),
                                np.asarray(carry.table.state), atol=1e-4)
+
+
+def test_process_files_renders_pngs(cfg, tmp_path):
+    """save_png=True renders the reference's PNG artifact set (saving_utils
+    :67,:77,:117,:142)."""
+    paths = write_synthetic_sequence(SyntheticScene(seed=9), str(tmp_path / "seq"), 3)
+    pipe = PipelineA(cfg)
+    out_dir = str(tmp_path / "out")
+    pipe.process_files(paths, output_dir=out_dir, save_png=True)
+    for name in ("bev_frame_0.png", "velocity_grid_frame_0.png",
+                 "dbscan_frame_0.png", "ekf_tracks_frame_0.png"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
