@@ -72,7 +72,15 @@ class DiskFrameSource:
         return len(self.pcd_files)
 
     def _load(self, path: str) -> tuple[np.ndarray, np.ndarray]:
-        return pad_points(read_pcd(path, dtype=self.dtype), self.capacity, self.dtype)
+        try:
+            points = read_pcd(path, dtype=self.dtype)
+        except Exception as e:  # noqa: BLE001
+            # a corrupt frame must not kill the stream (reference skip semantics,
+            # Optical_flow/main.py:635-637): deliver an empty frame — downstream
+            # produces a zero BEV / no moving points and the pair is skipped
+            print(f"Error decoding {path}: {e}")
+            points = np.zeros((0, 3), self.dtype)
+        return pad_points(points, self.capacity, self.dtype)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor

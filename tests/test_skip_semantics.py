@@ -49,3 +49,30 @@ def test_empty_roi_preprocess_yields_zero_bev():
     mask = jnp.ones((64,), bool)
     bev = pipe.preprocess(pts, mask, jax.random.PRNGKey(0))
     assert int(jnp.sum(bev)) == 0
+
+
+def test_corrupt_pcd_mid_sequence_is_skipped(tmp_path):
+    """A corrupt PCD file mid-stream becomes an empty frame -> skipped pair;
+    the stream continues (reference's blanket per-pair except, main.py:635-637)."""
+    from datmo_using_optical_flow_tpu.sim.synthetic import (SyntheticScene,
+                                                            write_synthetic_sequence)
+
+    from datmo_using_optical_flow_tpu.sim.synthetic import BoxTarget
+
+    cfg = _cfg()
+    # a scene small enough for the test capacities (max_raw_points=1024)
+    scene = SyntheticScene(seed=4, ground_points=500,
+                           targets=(BoxTarget(center0=(4.0, 0.0, 0.75),
+                                              velocity=(0.3, 0.2),
+                                              points_per_frame=300),))
+    paths = write_synthetic_sequence(scene, str(tmp_path / "s"), 4)
+    with open(paths[2], "wb") as f:
+        f.write(b"this is not a pcd file")
+    pipe = PipelineA(cfg, fast_warp=False)
+    summary = pipe.process_files(paths, output_dir=str(tmp_path / "o"))
+    # pairs (0,1) processed; pairs touching the corrupt frame 2 skipped;
+    # the (2,3) slot re-anchors on frame 3 after the empty frame
+    assert summary["pairs"] >= 1
+    import os
+
+    assert os.path.exists(tmp_path / "o" / "bev_frame_3.npy")
