@@ -24,3 +24,35 @@ if _REPO_ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Fast smoke tier (`pytest -m smoke`): one parity case per kernel + one
+# integration step per pipeline, ~1 min total.  The full suite is the parity
+# record (~16 CPU-minutes with -n 8); the smoke tier is the iteration loop.
+_SMOKE_NODEIDS = (
+    "test_geometry.py::test_bev_matches_oracle[0]",
+    "test_geometry.py::test_densify_matches_oracle_with_shared_noise",
+    "test_farneback.py::test_flow_matches_cv2[kw0]",
+    "test_flow_pallas.py::test_box_blur_solve_matches_jnp_path",
+    "test_flow_pallas.py::test_warp_pallas_matches_xla",
+    "test_dbscan.py::test_dbscan_matches_sklearn_blobs[0-0.5-5]",
+    "test_ransac.py::test_segment_plane_recovers_ground",
+    "test_masks.py::test_continuity_mask_matches_oracle",
+    "test_gmfa_ops.py::test_nearest_neighbors_matches_kdtree",
+    "test_gmfa_ops.py::test_icp_recovers_rigid_transform",
+    "test_gmfa_ops.py::test_hungarian_square_matches_scipy[0-4]",
+    "test_gmfa_ops.py::test_som_matches_oracle",
+    "test_tracker_a.py::test_single_target_track",
+    "test_pipeline_a.py::test_pipeline_matches_oracle",
+    "test_gmfa_pipeline.py::test_gmfa_matches_oracle",
+    "test_io.py::test_pcd_roundtrip[True-ascii]",
+    "test_parallel.py::test_halo_exchange_rows_matches_gather",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.rsplit("/", 1)[-1]
+        if nodeid in _SMOKE_NODEIDS:
+            item.add_marker(pytest.mark.smoke)
