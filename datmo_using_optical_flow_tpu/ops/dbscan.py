@@ -12,10 +12,12 @@ TPU-native equivalent of ``sklearn.cluster.DBSCAN`` as used by the reference at
 * border points attach to the minimum-rooted neighboring cluster.
 
 Label semantics vs sklearn: cluster ids are assigned by ascending minimum core
-index, which equals sklearn's visitation order, so labels match sklearn exactly
-except for the rare border point reachable from two clusters (sklearn gives it
-the first BFS visitor; we give it the lower cluster id).  Noise = -1, padding
-rows also report -1.
+index, which equals sklearn's visitation order.  A border point reachable from
+two clusters gets the lower cluster id here — which coincides with sklearn,
+because sklearn expands clusters fully in ascending id order, so the "first BFS
+visitor" of a shared border point is always the lower-id cluster (pinned by
+``tests/test_dbscan.py::test_dbscan_shared_border_point`` across point
+orderings).  Noise = -1, padding rows also report -1.
 """
 
 from __future__ import annotations

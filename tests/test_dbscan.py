@@ -81,6 +81,40 @@ def test_dbscan_chain_cluster():
     assert (ours == 0).all()
 
 
+def test_dbscan_shared_border_point():
+    """Adversarial case: a border point reachable from the cores of TWO clusters.
+
+    eps=1.0, min_samples=4.  Cluster A spans x in [0, 1], cluster B spans
+    x in [3, 4]; P at x=2.0 is within eps of exactly one core of each (neighbor
+    count 3 < 4, so P is border, and it bridges nothing).  sklearn expands
+    clusters fully in ascending id order, so P always lands in the lower-id
+    cluster — which is exactly our min-root attachment rule.  Assert *exact*
+    label equality (not just partition) under several point orderings,
+    including ones where B's or P's indices come first.
+    """
+    A = [0.0, 0.33, 0.66, 1.0]
+    B = [3.0, 3.33, 3.66, 4.0]
+    base = np.array(A + B + [2.0], np.float32)[:, None]
+    orders = [
+        np.arange(9),                                # A first
+        np.array([4, 5, 6, 7, 0, 1, 2, 3, 8]),       # B first
+        np.array([8, 0, 1, 2, 3, 4, 5, 6, 7]),       # P first
+        np.array([3, 7, 8, 0, 4, 1, 5, 2, 6]),       # interleaved
+    ]
+    for order in orders:
+        pts = base[order]
+        sk = DBSCAN(eps=1.0, min_samples=4).fit(pts)
+        ours, core = _run(pts, 1.0, 4)
+        p_pos = list(order).index(8)
+        assert not core[p_pos], "P must be a border point, not core"
+        np.testing.assert_array_equal(ours, sk.labels_)
+        # the partition checker must reject the opposite assignment of P
+        flipped = ours.copy()
+        flipped[p_pos] = 1 - flipped[p_pos]
+        with pytest.raises(AssertionError):
+            _partition_equal(flipped, sk.labels_)
+
+
 def test_dbscan_velocity_grid_matches_reference_path():
     """Pipeline-A form: features [row, col, vx, vy] on masked cells (main.py:231-259)."""
     rng = np.random.default_rng(5)
