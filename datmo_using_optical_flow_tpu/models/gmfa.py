@@ -117,7 +117,8 @@ class GMFAPipeline:
 
     def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
                       seed: int = 0, progress: bool = False,
-                      plot_dir: str | None = None) -> dict:
+                      plot_dir: str | None = None, checkpoint_every: int = 0,
+                      checkpoint_path: str | None = None, resume: bool = False) -> dict:
         """Run GMFA over a PCD sequence (reference __main__, GMFA.py:424-536).
 
         Returns {"rows": track-log rows, "som": final SOM}; writes
@@ -125,26 +126,52 @@ class GMFAPipeline:
         With ``plot_dir``, saves the reference's three per-frame plots
         (GMFA.py:526-528: SOM heat map, moving-vs-static, final positions) as
         PNGs instead of blocking windows.
+
+        Checkpoint/resume (SURVEY.md §5.4 — absent in the reference): with
+        ``checkpoint_every=K`` the :class:`GmfaCarry` (previous expanded cloud,
+        track table, SOM, previous centroids — the loop carries at
+        GMFA.py:424-536) snapshots to ``checkpoint_path`` (.npz) every K frames;
+        ``resume=True`` restores it and continues from the recorded frame.
+        Per-frame PRNG keys are index-derived so resumed runs are bit-identical.
         """
+        from datmo_using_optical_flow_tpu.utils.checkpoint import (load_checkpoint,
+                                                                   save_checkpoint)
+
         c = self.cfg
         source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
         carry = self.init_carry()
         key = jax.random.PRNGKey(seed)
         rows: list[dict] = []
         have_prev = False
+        start_frame = 0
+        if resume and checkpoint_path:
+            data = np.load(checkpoint_path)
+            start_frame = int(data["step"])
+            carry = load_checkpoint(checkpoint_path, carry)
+            have_prev = True  # the carry includes the previous expanded cloud
+            if progress:
+                print(f"resumed from {checkpoint_path} at frame {start_frame}")
         t_start = time.perf_counter()
         for i, (pts, mask) in enumerate(source):
-            key, kp, ks = jax.random.split(key, 3)
+            if i < start_frame:
+                continue
+            # index-derived keys: resume reproduces the uninterrupted stream
+            kp, ks = jax.random.split(jax.random.fold_in(key, i))
             ex, exmask = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), kp)
             if not have_prev:
                 carry = carry._replace(prev_points=ex, prev_mask=exmask)
                 have_prev = True
+                self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
+                                       save_checkpoint)
                 continue
             new_carry, out = self.step(ex, exmask, carry, ks)
             if bool(out.skip):
                 if progress:
                     print(f"frame {i}: no moving ROI points, skipped")
-                continue  # reference keeps the stale previous cloud (GMFA.py:477)
+                # reference keeps the stale previous cloud (GMFA.py:477)
+                self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
+                                       save_checkpoint)
+                continue
             carry = new_carry
             tb = carry.table
             # one batched device->host transfer per frame
@@ -159,11 +186,18 @@ class GMFAPipeline:
                       f"clusters={int(out.n_clusters)} tracks={int(alive.sum())}")
             if plot_dir:
                 self._save_frame_plots(plot_dir, i, carry, out)
+            self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
+                                   save_checkpoint)
         if output_xlsx:
             save_tracks_to_excel(rows, output_xlsx)
-        return {"rows": rows, "som": np.asarray(carry.som),
+        return {"rows": rows, "som": np.asarray(carry.som), "carry": carry,
                 "elapsed": time.perf_counter() - t_start}
 
+    @staticmethod
+    def _maybe_checkpoint(carry: GmfaCarry, frame: int, every: int,
+                          path: str | None, save_fn) -> None:
+        if every and path and (frame + 1) % every == 0:
+            save_fn(path, carry, step=frame + 1)
 
     @staticmethod
     def _save_frame_plots(plot_dir: str, frame: int, carry: GmfaCarry,

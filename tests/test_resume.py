@@ -1,9 +1,15 @@
-"""Checkpoint/resume of the streaming runner: resumed runs produce bit-identical
-final state to uninterrupted runs (SURVEY.md §5.4)."""
+"""Checkpoint/resume of the streaming runners: resumed runs produce bit-identical
+final state to uninterrupted runs (SURVEY.md §5.4), for BOTH pipelines."""
 
+import os
+
+import jax
 import numpy as np
 
-from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+from datmo_using_optical_flow_tpu.config import (CapacityConfig, DbscanConfig,
+                                                 GMFAConfig, IcpConfig,
+                                                 PipelineAConfig)
+from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
 from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
 from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget, SyntheticScene,
                                                         write_synthetic_sequence)
@@ -41,3 +47,36 @@ def test_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(resumed["tracks"][tid], st, atol=1e-6,
                                    err_msg=f"track {tid}")
     assert resumed["pairs"] == full["pairs"] - 2  # resumed from frame 3 -> pairs 3..5
+
+
+def test_gmfa_resume_matches_uninterrupted(tmp_path):
+    """GMFA checkpoint/resume: the restored GmfaCarry (previous cloud, track
+    table, SOM, previous centroids) plus index-derived PRNG keys make the
+    resumed run bit-identical to the uninterrupted one."""
+    cfg = GMFAConfig(
+        dbscan=DbscanConfig(eps=1.0, min_samples=30),
+        icp=IcpConfig(threshold=0.1),
+        capacities=CapacityConfig(max_raw_points=8192, max_roi_points=1024,
+                                  max_cells=1024, max_clusters=8, max_tracks=16))
+    scene = SyntheticScene(seed=21, targets=(BoxTarget(center0=(5.0, -3.0, 0.75),
+                                                       velocity=(2.0, 1.0)),))
+    paths = write_synthetic_sequence(scene, str(tmp_path / "seq"), 6)
+    ckpt = str(tmp_path / "gmfa_state.npz")
+
+    pipe = GMFAPipeline(cfg, max_moving_points=4096)
+    full = pipe.process_files(paths, checkpoint_every=3, checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)
+    assert int(np.load(ckpt)["step"]) == 6
+
+    p2 = GMFAPipeline(cfg, max_moving_points=4096)
+    p2.process_files(paths[:3], checkpoint_every=3, checkpoint_path=ckpt)
+    assert int(np.load(ckpt)["step"]) == 3
+    resumed = p2.process_files(paths, checkpoint_path=ckpt, resume=True)
+
+    # bit-identical final carry (every leaf: prev cloud, table, SOM, centroids)
+    for got, exp in zip(jax.tree.leaves(resumed["carry"]),
+                        jax.tree.leaves(full["carry"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    # resumed rows are the tail of the full run's rows
+    assert resumed["rows"] == full["rows"][len(full["rows"]) - len(resumed["rows"]):]
+    assert resumed["rows"], "expected post-resume track rows"
