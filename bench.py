@@ -91,8 +91,10 @@ def main() -> None:
     dev_frames = [jnp.asarray(f) for f in frames]
 
     pipe = PipelineA(cfg, fast_warp=True)
-    init_carry = pipe.init_carry()
 
+    # NOT donated: carry donation measures ~10% slower on this backend
+    # (9.6 vs 10.6 FPS over 3 runs each; the aliasing constraint costs more
+    # than the allocation it saves) — see BENCHMARKS.md
     @jax.jit
     def step(b1, b2, carry):
         new_carry, out = _step_impl(b1, b2, carry, cfg=cfg, fast_warp=True,
@@ -101,7 +103,7 @@ def main() -> None:
 
     log("compiling 1080p DATMO step (first compile is slow)...")
     t0 = time.time()
-    carry, cells, tracks = step(dev_frames[0], dev_frames[1], init_carry)
+    carry, cells, tracks = step(dev_frames[0], dev_frames[1], pipe.init_carry())
     _ = int(tracks)  # force
     log(f"compile+first run: {time.time() - t0:.1f}s; cells={int(cells)} "
         f"tracks={int(tracks)}")
@@ -110,7 +112,7 @@ def main() -> None:
     done = 0
     t0 = time.time()
     for _ in range(reps):
-        carry = init_carry
+        carry = pipe.init_carry()
         for i in range(n_frames - 1):
             carry, cells, tracks = step(dev_frames[i], dev_frames[i + 1], carry)
             done += 1

@@ -86,12 +86,14 @@ class GmfaOutputs(NamedTuple):
 class GMFAPipeline:
     """Streaming runner for the GMFA pipeline."""
 
-    def __init__(self, cfg: GMFAConfig | None = None, max_moving_points: int = 8192):
+    def __init__(self, cfg: GMFAConfig | None = None, max_moving_points: int = 8192,
+                 donate: bool = False):
         self.cfg = (cfg or GMFAConfig()).validate()
         self.max_moving = max_moving_points
+        self.donate = donate
         # cached per config so equal-config pipelines share compilations
         self._preprocess = _cached_gmfa_preprocess(self.cfg)
-        self._step = _cached_gmfa_step(self.cfg, max_moving_points)
+        self._step = _cached_gmfa_step(self.cfg, max_moving_points, donate)
 
     def preprocess(self, points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array):
         """flip -> RANSAC -> ROI -> densify (GMFA ``preprocess_pcd``, GMFA.py:31-55).
@@ -113,6 +115,9 @@ class GMFAPipeline:
 
     def step(self, points: jnp.ndarray, mask: jnp.ndarray, carry: GmfaCarry,
              key: jax.Array) -> tuple[GmfaCarry, GmfaOutputs]:
+        """One GMFA frame step.  With ``donate=True`` the carry is donated —
+        treat it as consumed and use the returned carry.  A skipped frame
+        returns the old carry values (including the stale previous cloud)."""
         return self._step(points, mask, carry, key)
 
     def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
@@ -164,15 +169,14 @@ class GMFAPipeline:
                 self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
                                        save_checkpoint)
                 continue
-            new_carry, out = self.step(ex, exmask, carry, ks)
+            carry, out = self.step(ex, exmask, carry, ks)
             if bool(out.skip):
+                # the step already kept the stale carry on-device (GMFA.py:477)
                 if progress:
                     print(f"frame {i}: no moving ROI points, skipped")
-                # reference keeps the stale previous cloud (GMFA.py:477)
                 self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
                                        save_checkpoint)
                 continue
-            carry = new_carry
             tb = carry.table
             # one batched device->host transfer per frame
             alive, tid, state = jax.device_get((tb.alive, tb.tid, tb.state))
@@ -251,8 +255,13 @@ def _cached_gmfa_preprocess(cfg: GMFAConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_gmfa_step(cfg: GMFAConfig, max_moving: int):
-    return jax.jit(partial(_gmfa_step_impl, cfg=cfg, max_moving=max_moving))
+def _cached_gmfa_step(cfg: GMFAConfig, max_moving: int, donate: bool = False):
+    # donate=True reuses the carry's buffers in place (see _cached_step in
+    # optical_flow_datmo.py for the measured trade-off on this backend); safe
+    # because skip semantics are applied on-device so callers always adopt the
+    # returned carry
+    return jax.jit(partial(_gmfa_step_impl, cfg=cfg, max_moving=max_moving),
+                   donate_argnums=(2,) if donate else ())
 
 
 def _gmfa_preprocess_impl(points, mask, key, cfg: GMFAConfig):
@@ -415,8 +424,14 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     prev_centroids = jnp.where(any_tracks, centroids2d, carry.prev_centroids)
     prev_exists = jnp.where(any_tracks, exists, carry.prev_exists)
 
-    new_carry = GmfaCarry(prev_points=points, prev_mask=mask, table=table, som=som,
-                          prev_centroids=prev_centroids, prev_exists=prev_exists)
+    # skip semantics on-device (GMFA.py:475-477's ``continue``): a frame with no
+    # moving ROI points leaves the WHOLE carry untouched — including the stale
+    # previous cloud — so the host runner can always adopt the returned carry
+    # (which in turn makes carry donation safe).
+    advanced = GmfaCarry(prev_points=points, prev_mask=mask, table=table, som=som,
+                         prev_centroids=prev_centroids, prev_exists=prev_exists)
+    new_carry = jax.tree.map(lambda new, old: jnp.where(skip, old, new),
+                             advanced, carry)
     outputs = GmfaOutputs(skip=skip, classifications=cls, residuals=residuals,
                           moving_points=mpts, moving_count=mcount, labels=labels,
                           n_clusters=n_clusters, transformation=icp.transformation,

@@ -70,14 +70,15 @@ class PipelineA:
     """Streaming runner for the optical-flow DATMO pipeline."""
 
     def __init__(self, cfg: PipelineAConfig | None = None, fast_warp: bool = True,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, donate: bool = False):
         self.cfg = (cfg or PipelineAConfig()).validate()
         self.fast_warp = fast_warp
         self.use_pallas = use_pallas
+        self.donate = donate
         # jitted programs are cached per (cfg, flags): two pipelines with equal
         # configs share compilations (configs are frozen/hashable dataclasses)
         self._preprocess = _cached_preprocess(self.cfg)
-        self._step = _cached_step(self.cfg, fast_warp, use_pallas)
+        self._step = _cached_step(self.cfg, fast_warp, use_pallas, donate)
 
     # -------------------------------------------------------------- device fns
 
@@ -96,7 +97,11 @@ class PipelineA:
 
     def step(self, bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry
              ) -> tuple[StepCarry, StepOutputs]:
-        """One frame-pair DATMO step (main.py:565-634 healthy path)."""
+        """One frame-pair DATMO step (main.py:565-634 healthy path).
+
+        With ``donate=True`` the carry is donated to the device program —
+        treat it as consumed and use the returned carry.
+        """
         return self._step(bev1, bev2, carry)
 
     def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry
@@ -246,9 +251,17 @@ def _cached_preprocess(cfg: PipelineAConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool):
+def _cached_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool,
+                 donate: bool = False):
+    # donate=True reuses the carry's buffers (two full-resolution velocity grids
+    # + track table) for the new carry instead of allocating fresh ones; callers
+    # must then treat the passed carry as consumed.  Default OFF: on this
+    # backend donation measures ~10% SLOWER at 1080p (9.6 vs 10.6 FPS,
+    # BENCHMARKS.md) — the aliasing constraint costs more than the allocation —
+    # but the option matters where HBM headroom is the binding constraint.
     return jax.jit(partial(_step_impl, cfg=cfg, fast_warp=fast_warp,
-                           use_pallas=use_pallas))
+                           use_pallas=use_pallas),
+                   donate_argnums=(2,) if donate else ())
 
 
 def _preprocess_impl(points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,

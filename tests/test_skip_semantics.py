@@ -27,18 +27,41 @@ def test_zero_bev_pair_is_noop():
     carry = pipe.init_carry()
     carry, out = pipe.step(good, good, carry)
     assert not bool(out.skip)
+    # snapshot BEFORE stepping: the carry is donated (consumed) by step
     ref_vx = np.asarray(carry.prev_vx)
+    ref_alive = np.asarray(carry.table.alive)
 
     # empty-BEV pair: carry must be untouched
     carry2, out2 = pipe.step(good, zero, carry)
     assert bool(out2.skip)
     np.testing.assert_array_equal(np.asarray(carry2.prev_vx), ref_vx)
-    np.testing.assert_array_equal(np.asarray(carry2.table.alive),
-                                  np.asarray(carry.table.alive))
+    np.testing.assert_array_equal(np.asarray(carry2.table.alive), ref_alive)
 
     # stream continues fine afterwards
     carry3, out3 = pipe.step(good, good, carry2)
     assert not bool(out3.skip)
+
+
+def test_donated_step_matches_undonated():
+    """donate=True (opt-in buffer donation) produces identical results and
+    consumes the input carry."""
+    cfg = _cfg()
+    h, w = cfg.grid_shape
+    rng = np.random.default_rng(1)
+    b1 = jnp.asarray(rng.integers(1, 255, size=(h, w)).astype(np.uint8))
+    b2 = jnp.asarray(rng.integers(1, 255, size=(h, w)).astype(np.uint8))
+
+    ref_pipe = PipelineA(cfg, fast_warp=False)
+    ref_carry, ref_out = ref_pipe.step(b1, b2, ref_pipe.init_carry())
+
+    don_pipe = PipelineA(cfg, fast_warp=False, donate=True)
+    old = don_pipe.init_carry()
+    carry, out = don_pipe.step(b1, b2, old)
+    np.testing.assert_array_equal(np.asarray(carry.prev_vx),
+                                  np.asarray(ref_carry.prev_vx))
+    np.testing.assert_array_equal(np.asarray(out.velocity_x),
+                                  np.asarray(ref_out.velocity_x))
+    assert old.prev_vx.is_deleted()  # the donated carry was consumed
 
 
 def test_empty_roi_preprocess_yields_zero_bev():
