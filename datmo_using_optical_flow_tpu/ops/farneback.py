@@ -331,10 +331,11 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.n
                     fast_warp: bool = False,
                     gaussian: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pyramid level: iterations x (matrices -> blur -> solve)."""
-    if use_pallas and not gaussian:
+    if use_pallas:
         from datmo_using_optical_flow_tpu.ops import flow_pallas
 
-        return flow_pallas.farneback_level(R0, R1, dx, dy, winsize, iterations)
+        return flow_pallas.farneback_level(R0, R1, dx, dy, winsize, iterations,
+                                           gaussian)
     blur = gauss_blur5 if gaussian else box_blur5
     packed = pack_corner_pairs(R1) if fast_warp else None
     M = update_matrices(R0, R1, dx, dy, packed)

@@ -1,13 +1,16 @@
-"""Pallas fused blur+solve kernel parity (interpret mode on the CPU backend;
-the compiled path runs on TPU via bench/examples)."""
+"""Pallas fused kernels parity: blur+solve and the shift-decomposition warp
+(interpret mode on the CPU backend; the compiled path runs on TPU via
+bench/examples)."""
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from datmo_using_optical_flow_tpu.config import FarnebackConfig
 from datmo_using_optical_flow_tpu.ops import farneback as fb
-from datmo_using_optical_flow_tpu.ops.flow_pallas import box_blur_solve
+from datmo_using_optical_flow_tpu.ops import warp_pallas as wp
+from datmo_using_optical_flow_tpu.ops.flow_pallas import blur_solve, box_blur_solve
 
 
 def _realistic_planes(shape, seed=0):
@@ -44,4 +47,98 @@ def test_farneback_with_pallas_matches_cv2():
     ours = fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg, use_pallas=True)
     theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.3, 5, 15, 5, 5, 5, 0)
     epe = np.linalg.norm(np.asarray(ours) - theirs, axis=-1)
-    assert epe.max() < 0.02, epe.max()  # pallas level uses packed bf16 warp
+    assert epe.max() < 0.02, epe.max()  # small level: packed int16 warp
+
+
+def test_gauss_blur_solve_matches_jnp_path():
+    """OPTFLOW_FARNEBACK_GAUSSIAN aggregation on the Pallas kernel."""
+    M = _realistic_planes((100, 130), seed=3)
+    dx1, dy1 = blur_solve(M, 15, gaussian=True)
+    dx2, dy2 = fb.solve_flow(fb.gauss_blur5(M, 15))
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy2), atol=1e-4)
+
+
+def _smooth_flow(h, w, amp=4.0, seed=1):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = amp * np.sin(yy / 23) * np.cos(xx / 31)
+    dy = 0.7 * amp * np.cos(yy / 19) * np.sin(xx / 37)
+    return dx.astype(np.float32), dy.astype(np.float32)
+
+
+def test_warp_pallas_matches_xla():
+    """The shift-decomposition warp kernel == the exact XLA gather path
+    (update_matrices with no packing) on an eligible-size level."""
+    h, w = 160, 384
+    rng = np.random.default_rng(0)
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    dxn, dyn = _smooth_flow(h, w)
+    dx, dy = jnp.asarray(dxn), jnp.asarray(dyn)
+    assert wp.eligible(h, w) and bool(wp.flow_in_range(dx, dy))
+    got = np.asarray(wp.warp_matrices(R0, wp._pad_r1(R1), dx, dy))
+    exp = np.asarray(fb.update_matrices(R0, R1, dx, dy))
+    np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_warp_pallas_negative_and_integer_flow():
+    """Integer displacements and negative flows hit the shift-mask edges."""
+    h, w = 160, 384
+    rng = np.random.default_rng(4)
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    dxn = np.full((h, w), -3.0, np.float32)
+    dyn = np.full((h, w), 2.0, np.float32)
+    dxn[:, : w // 2] = 5.25
+    got = np.asarray(wp.warp_matrices(R0, wp._pad_r1(R1), jnp.asarray(dxn),
+                                      jnp.asarray(dyn)))
+    exp = np.asarray(fb.update_matrices(R0, R1, jnp.asarray(dxn), jnp.asarray(dyn)))
+    np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_warp_pallas_fallback_out_of_range():
+    """Flow beyond the warp window takes the packed-gather branch in-graph."""
+    from datmo_using_optical_flow_tpu.ops.flow_pallas import farneback_level
+
+    h, w = 160, 384
+    rng = np.random.default_rng(7)
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    dxn = np.full((h, w), 100.0, np.float32)  # way past BMAX
+    dyn = np.zeros((h, w), np.float32)
+    assert not bool(wp.flow_in_range(jnp.asarray(dxn), jnp.asarray(dyn)))
+    got_dx, got_dy = farneback_level(R0, R1, jnp.asarray(dxn), jnp.asarray(dyn),
+                                     winsize=15, iterations=1)
+    packed = fb.pack_corner_pairs(R1)
+    M = fb.update_matrices(R0, R1, jnp.asarray(dxn), jnp.asarray(dyn), packed)
+    exp_dx, exp_dy = fb.solve_flow(fb.box_blur5(M, 15))
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(exp_dx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dy), np.asarray(exp_dy), atol=1e-4)
+
+
+def test_farneback_pallas_warp_full_flow_matches_cv2():
+    """Full pyramid with the warp kernel active at the top level vs cv2."""
+    rng = np.random.default_rng(5)
+    img1 = cv2.GaussianBlur(rng.uniform(0, 255, (160, 320)).astype(np.float32),
+                            (0, 0), 3)
+    img2 = cv2.warpAffine(img1, np.float32([[1, 0, 2.3], [0, 1, -1.4]]), (320, 160))
+    cfg = FarnebackConfig()
+    ours = fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg,
+                             use_pallas=True)
+    theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.3, 5, 15, 5, 5, 5, 0)
+    epe = np.linalg.norm(np.asarray(ours) - theirs, axis=-1)
+    assert epe.max() < 0.02, epe.max()
+
+
+def test_farneback_pallas_gaussian_matches_cv2():
+    """use_pallas no longer skips the GAUSSIAN flag (cv2 flags=256)."""
+    rng = np.random.default_rng(6)
+    img1 = cv2.GaussianBlur(rng.uniform(0, 255, (64, 80)).astype(np.float32),
+                            (0, 0), 3)
+    img2 = cv2.warpAffine(img1, np.float32([[1, 0, 1.1], [0, 1, 0.6]]), (80, 64))
+    cfg = FarnebackConfig(flags=256)
+    ours = fb.farneback_flow(jnp.asarray(img1), jnp.asarray(img2), cfg,
+                             use_pallas=True)
+    theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.3, 5, 15, 5, 5, 5, 256)
+    epe = np.linalg.norm(np.asarray(ours) - theirs, axis=-1)
+    assert epe.max() < 0.02, epe.max()
