@@ -66,6 +66,18 @@ class StepCarry(NamedTuple):
     table: tracker_a.TrackTable
 
 
+class StreamCarry(NamedTuple):
+    """Carry for the stream-mode step: pair state plus the previous frame's
+    Farnebäck coefficient pyramid, so each frame's polynomial expansion runs
+    ONCE instead of twice (the reference preprocesses every PCD twice per
+    pair, ``Optical_flow/main.py:568-569``)."""
+
+    step: StepCarry
+    pyr: tuple                   # per-level (5, lh, lw) planes of prev frame
+    frame_valid: jnp.ndarray     # bool: previous frame had nonzero BEV
+    has_frame: jnp.ndarray       # bool: any previous frame seen
+
+
 class PipelineA:
     """Streaming runner for the optical-flow DATMO pipeline."""
 
@@ -79,6 +91,8 @@ class PipelineA:
         # configs share compilations (configs are frozen/hashable dataclasses)
         self._preprocess = _cached_preprocess(self.cfg)
         self._step = _cached_step(self.cfg, fast_warp, use_pallas, donate)
+        self._stream_step = _cached_stream_step(self.cfg, fast_warp, use_pallas,
+                                                donate)
 
     # -------------------------------------------------------------- device fns
 
@@ -104,6 +118,27 @@ class PipelineA:
         """
         return self._step(bev1, bev2, carry)
 
+    def init_stream_carry(self) -> StreamCarry:
+        from datmo_using_optical_flow_tpu.oracle.np_farneback import level_sizes
+
+        fb = self.cfg.farneback
+        h, w = self.cfg.grid_shape
+        pyr = tuple(jnp.zeros((5, lh, lw), jnp.float32)
+                    for _, _, lh, lw in level_sizes(h, w, fb.pyr_scale, fb.levels))
+        return StreamCarry(step=self.init_carry(), pyr=pyr,
+                           frame_valid=jnp.asarray(False),
+                           has_frame=jnp.asarray(False))
+
+    def step_stream(self, bev: jnp.ndarray, carry: StreamCarry
+                    ) -> tuple[StreamCarry, StepOutputs]:
+        """Stream-mode step: feed ONE new frame; the previous frame's
+        coefficient pyramid rides in the carry (each frame expanded once
+        instead of twice).  The first call primes the pyramid and reports
+        ``skip=True``.  Matches :meth:`step` over consecutive frames (up to
+        XLA-fusion float roundoff between the two programs).
+        """
+        return self._stream_step(bev, carry)
+
     def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry
                    ) -> tuple[StepCarry, StepOutputs]:
         """Process a whole clip in ONE device program: ``lax.scan`` over the
@@ -116,15 +151,21 @@ class PipelineA:
         scan shines for long clips at moderate grid sizes.
         """
         cfg, fast_warp, use_pallas = self.cfg, self.fast_warp, self.use_pallas
+        pyr0 = self.init_stream_carry().pyr
 
         @jax.jit
         def run(stack, c0):
-            def body(c, pair):
-                return _step_impl(pair[0], pair[1], c, cfg=cfg, fast_warp=fast_warp,
-                                  use_pallas=use_pallas)
+            def body(c, bev):
+                return _stream_step_impl(bev, c, cfg=cfg, fast_warp=fast_warp,
+                                         use_pallas=use_pallas)
 
-            pairs = jnp.stack([stack[:-1], stack[1:]], axis=1)
-            return jax.lax.scan(body, c0, pairs)
+            # prime the pyramid with frame 0, then scan the remaining frames
+            # (each frame's polynomial expansion runs once, not twice)
+            sc = StreamCarry(step=c0, pyr=pyr0, frame_valid=jnp.asarray(False),
+                             has_frame=jnp.asarray(False))
+            sc, _ = body(sc, stack[0])
+            final, outs = jax.lax.scan(body, sc, stack[1:])
+            return final.step, outs
 
         return run(bevs, carry)
 
@@ -151,25 +192,26 @@ class PipelineA:
         c = self.cfg
         sink = ArtifactSink(output_dir or c.output_folder, save_png=save_png)
         source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
-        carry = self.init_carry()
+        carry = self.init_stream_carry()
         key = jax.random.PRNGKey(seed)
 
         start_frame = 0
         if resume and checkpoint_path:
             data = np.load(checkpoint_path)
             start_frame = int(data["step"])
+            # the carry includes the previous frame's pyramid, so the resumed
+            # stream continues bit-identically with no re-derivation
             carry = load_checkpoint(checkpoint_path, carry)
             if progress:
                 print(f"resumed from {checkpoint_path} at frame {start_frame}")
 
-        prev_bev = None
         timings = {"preprocess": 0.0, "step": 0.0, "artifacts": 0.0}
         n_pairs = 0
         for i, (pts, mask) in enumerate(source):
+            if i < start_frame:
+                continue
             # per-frame key derivation is index-based so resume is bit-reproducible
             k = jax.random.fold_in(key, i)
-            if start_frame and i < start_frame - 1:
-                continue  # frames before the resume point (and its predecessor)
             try:
                 t0 = time.perf_counter()
                 bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
@@ -179,39 +221,33 @@ class PipelineA:
                 # per-pair except, main.py:635-637)
                 print(f"Error processing frame {i}: {e}")
                 continue
-            if start_frame and i == start_frame - 1:
-                prev_bev = bev  # re-derive only the pair predecessor
-                continue
 
             t0 = time.perf_counter()
             sink.save_bev(np.asarray(bev), i)
             timings["artifacts"] += time.perf_counter() - t0
 
-            if prev_bev is not None:
-                t0 = time.perf_counter()
-                carry, out = self.step(prev_bev, bev, carry)
-                timings["step"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            carry, out = self.step_stream(bev, carry)
+            timings["step"] += time.perf_counter() - t0
 
-                if bool(out.skip):
-                    # invalid pair skipped like the reference (main.py:572-574)
-                    prev_bev = bev
-                    continue
+            if not bool(out.skip):
+                # a skipped pair (first frame / invalid BEV) writes no pair
+                # artifacts, like the reference (main.py:572-574)
                 t0 = time.perf_counter()
                 self._write_pair_artifacts(sink, out, i - 1)
                 timings["artifacts"] += time.perf_counter() - t0
                 n_pairs += 1
                 if progress:
                     print(f"pair {i - 1}: cells={int(out.cell_count)} "
-                          f"tracks={int(np.asarray(carry.table.alive).sum())}")
+                          f"tracks={int(np.asarray(carry.step.table.alive).sum())}")
                 if bool(out.cell_overflow):
                     print(f"pair {i - 1}: WARNING valid cells exceed max_cells="
                           f"{self.cfg.capacities.max_cells}; clustering truncated")
-                if (checkpoint_every and checkpoint_path
-                        and (i + 1) % checkpoint_every == 0):
-                    save_checkpoint(checkpoint_path, carry, step=i + 1)
-            prev_bev = bev
+            if (i and checkpoint_every and checkpoint_path
+                    and (i + 1) % checkpoint_every == 0):
+                save_checkpoint(checkpoint_path, carry, step=i + 1)
 
-        tracks = self._tracks_dict(carry.table)
+        tracks = self._tracks_dict(carry.step.table)
         sink.print_final_track_velocities(tracks)
         return {"tracks": tracks, "timings": timings, "pairs": n_pairs}
 
@@ -251,6 +287,14 @@ def _cached_preprocess(cfg: PipelineAConfig):
 
 
 @functools.lru_cache(maxsize=32)
+def _cached_stream_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool,
+                        donate: bool = False):
+    return jax.jit(partial(_stream_step_impl, cfg=cfg, fast_warp=fast_warp,
+                           use_pallas=use_pallas),
+                   donate_argnums=(1,) if donate else ())
+
+
+@functools.lru_cache(maxsize=32)
 def _cached_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool,
                  donate: bool = False):
     # donate=True reuses the carry's buffers (two full-resolution velocity grids
@@ -284,14 +328,48 @@ def _preprocess_impl(points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
 def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
                cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool
                ) -> tuple[StepCarry, StepOutputs]:
-    c = cfg
-    fb = c.farneback
+    fb = cfg.farneback
     from datmo_using_optical_flow_tpu.ops.farneback import OPTFLOW_FARNEBACK_GAUSSIAN
 
     flow = _farneback_impl(bev1.astype(jnp.float32), bev2.astype(jnp.float32),
                            fb.pyr_scale, fb.levels, fb.winsize, fb.iterations,
                            fb.poly_n, fb.poly_sigma, use_pallas, fast_warp,
                            gaussian=bool(fb.flags & OPTFLOW_FARNEBACK_GAUSSIAN))
+    pair_valid = jnp.any(bev1 > 0) & jnp.any(bev2 > 0)
+    return _datmo_tail(flow, pair_valid, carry, cfg)
+
+
+def _stream_step_impl(bev: jnp.ndarray, carry: StreamCarry, cfg: PipelineAConfig,
+                      fast_warp: bool, use_pallas: bool
+                      ) -> tuple[StreamCarry, StepOutputs]:
+    """Stream-mode step: one NEW frame per call; the previous frame's
+    coefficient pyramid rides in the carry, halving per-pair pyramid work.
+
+    Equals the pair mode over consecutive frames up to XLA-fusion float
+    roundoff (pinned by tests/test_pipeline_a.py::test_stream_mode_matches_pair_mode):
+    the pyramid is a pure function of the BEV, so reusing it equals
+    recomputing it.
+    """
+    from datmo_using_optical_flow_tpu.ops.farneback import (
+        OPTFLOW_FARNEBACK_GAUSSIAN, build_pyramid, flow_from_pyramids)
+
+    fb = cfg.farneback
+    pyr2 = build_pyramid(bev.astype(jnp.float32), fb.pyr_scale, fb.levels,
+                         fb.poly_n, fb.poly_sigma)
+    flow = flow_from_pyramids(carry.pyr, pyr2, fb.pyr_scale, fb.winsize,
+                              fb.iterations, use_pallas, fast_warp,
+                              gaussian=bool(fb.flags & OPTFLOW_FARNEBACK_GAUSSIAN))
+    cur_valid = jnp.any(bev > 0)
+    pair_valid = carry.has_frame & carry.frame_valid & cur_valid
+    new_step, outputs = _datmo_tail(flow, pair_valid, carry.step, cfg)
+    new_carry = StreamCarry(step=new_step, pyr=pyr2, frame_valid=cur_valid,
+                            has_frame=jnp.asarray(True))
+    return new_carry, outputs
+
+
+def _datmo_tail(flow: jnp.ndarray, pair_valid: jnp.ndarray, carry: StepCarry,
+                cfg: PipelineAConfig) -> tuple[StepCarry, StepOutputs]:
+    c = cfg
     velocity_x, velocity_y, _ = mask_ops.velocity_from_flow(flow, c.x_range, c.y_range)
 
     # acceleration (defect #1 fixed: only when a previous grid exists); feeds the
@@ -324,7 +402,7 @@ def _step_impl(bev1: jnp.ndarray, bev2: jnp.ndarray, carry: StepCarry,
     # an all-zero grid; reference's preprocess returns None, main.py:572-574 skips
     # the pair) becomes a masked no-op — the carried state is left untouched so a
     # bad frame never kills the stream.
-    skip = ~(jnp.any(bev1 > 0) & jnp.any(bev2 > 0))
+    skip = ~pair_valid
     advanced = StepCarry(prev_vx=velocity_x, prev_vy=velocity_y,
                          has_prev=jnp.asarray(True), table=table)
     new_carry = jax.tree.map(lambda new, old: jnp.where(skip, old, new),

@@ -348,18 +348,38 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.n
 
 # ------------------------------------------------------------------ pyramid driver
 
-def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
-                    poly_sigma, use_pallas, fast_warp=False, gaussian=False,
-                    flow0=None):
-    h, w = im1.shape
-    dx = dy = None
+def build_pyramid(im, pyr_scale, levels, poly_n, poly_sigma):
+    """Per-level polynomial-expansion planes for one frame.
+
+    Returns a tuple of (5, lh, lw) coefficient arrays, coarsest-first (the
+    order :func:`flow_from_pyramids` consumes).  Splitting this out of the
+    flow lets a streaming runner compute each frame's pyramid ONCE and carry
+    it to the next step — the reference preprocesses every PCD twice per pair
+    (``Optical_flow/main.py:568-569``); pair-mode :func:`farneback_flow`
+    likewise re-expands frame t for pairs (t-1, t) and (t, t+1).
+    """
+    h, w = im.shape
+    out = []
     for k, scale, lh, lw in level_sizes(h, w, pyr_scale, levels):
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
+        f = resize_bilinear(f, lh, lw)
+        out.append(poly_exp(f, poly_n, poly_sigma))
+    return tuple(out)
+
+
+def flow_from_pyramids(pyr1, pyr2, pyr_scale, winsize, iterations,
+                       use_pallas, fast_warp=False, gaussian=False, flow0=None):
+    """Pyramidal Farnebäck refinement over precomputed coefficient pyramids."""
+    dx = dy = None
+    for k, (R0, R1) in enumerate(zip(pyr1, pyr2)):
+        _, lh, lw = R0.shape
         if dx is None:
             if flow0 is not None:  # OPTFLOW_USE_INITIAL_FLOW
+                scale = np.float32(pyr_scale ** (len(pyr1) - 1))
                 f0 = jnp.moveaxis(flow0.astype(jnp.float32), -1, 0)  # (2, H, W)
-                f0 = resize_bilinear(f0, lh, lw) * np.float32(scale)
+                f0 = resize_bilinear(f0, lh, lw) * scale
                 dx, dy = f0[0], f0[1]
             else:
                 dx = jnp.zeros((lh, lw), dtype=jnp.float32)
@@ -368,14 +388,18 @@ def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
             inv = np.float32(1.0 / pyr_scale)
             dx = resize_bilinear(dx, lh, lw) * inv
             dy = resize_bilinear(dy, lh, lw) * inv
-        Rs = []
-        for im in (im1, im2):
-            f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
-            f = resize_bilinear(f, lh, lw)
-            Rs.append(poly_exp(f, poly_n, poly_sigma))
-        dx, dy = farneback_level(Rs[0], Rs[1], dx, dy, winsize, iterations, use_pallas,
+        dx, dy = farneback_level(R0, R1, dx, dy, winsize, iterations, use_pallas,
                                  fast_warp, gaussian)
     return jnp.stack([dx, dy], axis=-1)
+
+
+def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
+                    poly_sigma, use_pallas, fast_warp=False, gaussian=False,
+                    flow0=None):
+    pyr1 = build_pyramid(im1, pyr_scale, levels, poly_n, poly_sigma)
+    pyr2 = build_pyramid(im2, pyr_scale, levels, poly_n, poly_sigma)
+    return flow_from_pyramids(pyr1, pyr2, pyr_scale, winsize, iterations,
+                              use_pallas, fast_warp, gaussian, flow0)
 
 
 _farneback = jax.jit(_farneback_impl,

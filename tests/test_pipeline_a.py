@@ -100,6 +100,40 @@ def test_pipeline_matches_oracle(bev_seq, cfg):
     assert set(final) == set(oracle_final)
 
 
+def test_stream_mode_matches_pair_mode(cfg, bev_seq):
+    """step_stream (pyramid carried across frames) equals the pair-mode step
+    over consecutive frames — the pyramid is a pure function of the BEV, so
+    reuse == recompute (up to XLA fusion float roundoff between the two
+    programs)."""
+    pipe = PipelineA(cfg, fast_warp=False)
+    pair_carry = pipe.init_carry()
+    stream_carry = pipe.init_stream_carry()
+
+    stream_carry, out0 = pipe.step_stream(jnp.asarray(bev_seq[0]), stream_carry)
+    assert bool(out0.skip)  # priming frame produces no pair
+
+    for i in range(1, len(bev_seq)):
+        pair_carry, pout = pipe.step(jnp.asarray(bev_seq[i - 1]),
+                                     jnp.asarray(bev_seq[i]), pair_carry)
+        stream_carry, sout = pipe.step_stream(jnp.asarray(bev_seq[i]), stream_carry)
+        assert bool(pout.skip) == bool(sout.skip)
+        np.testing.assert_allclose(np.asarray(sout.velocity_x),
+                                   np.asarray(pout.velocity_x), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(sout.labels), np.asarray(pout.labels))
+        np.testing.assert_allclose(np.asarray(stream_carry.step.table.state),
+                                   np.asarray(pair_carry.table.state), atol=1e-4)
+
+    # a zero frame mid-stream: this pair AND the next are skipped
+    h, w = cfg.grid_shape
+    zero = jnp.zeros((h, w), jnp.uint8)
+    stream_carry, out_z = pipe.step_stream(zero, stream_carry)
+    assert bool(out_z.skip)
+    stream_carry, out_after = pipe.step_stream(jnp.asarray(bev_seq[0]), stream_carry)
+    assert bool(out_after.skip)  # predecessor was invalid
+    stream_carry, out_ok = pipe.step_stream(jnp.asarray(bev_seq[1]), stream_carry)
+    assert not bool(out_ok.skip)  # stream recovers
+
+
 def test_process_files_writes_artifacts(cfg, tmp_path):
     paths = write_synthetic_sequence(SyntheticScene(seed=9), str(tmp_path / "seq"), 3)
     pipe = PipelineA(cfg)
