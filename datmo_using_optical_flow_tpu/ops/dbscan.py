@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 
 _TILE = 512
+# below this padded size the whole pairwise matrix is computed at once: one
+# MXU matmul + row reductions beat the tiled scan's sequential dispatches
+_FULL_MATRIX_MAX = 8192
 _INF_I32 = jnp.iinfo(jnp.int32).max
 
 
@@ -97,7 +100,21 @@ def dbscan(features: jnp.ndarray, valid: jnp.ndarray, eps: float | jnp.ndarray,
     eps = jnp.asarray(eps, jnp.float32)
     eps2 = eps * eps
 
-    core = _core_mask(feats, validp, eps, min_samples)
+    if npad <= _FULL_MATRIX_MAX:
+        # full pairwise matrix in one shot (same math as the tiled scan)
+        d2 = _sqdist_tile(feats, feats)
+        nbr = (d2 <= eps2) & validp[None, :]
+        counts = jnp.sum(nbr.astype(feats.dtype), axis=1)
+        core = validp & (counts >= min_samples)
+        adjc = nbr & core[None, :]
+
+        def min_rep(rep):
+            return jnp.min(jnp.where(adjc, rep[None, :], _INF_I32), axis=1)
+    else:
+        core = _core_mask(feats, validp, eps, min_samples)
+
+        def min_rep(rep):
+            return _min_rep_over_core_neighbors(feats, core, eps2, rep)
 
     idx = jnp.arange(npad, dtype=jnp.int32)
     rep0 = jnp.where(core, idx, _INF_I32)
@@ -108,7 +125,7 @@ def dbscan(features: jnp.ndarray, valid: jnp.ndarray, eps: float | jnp.ndarray,
 
     def body(state):
         rep, _, it = state
-        hooked = _min_rep_over_core_neighbors(feats, core, eps2, rep)
+        hooked = min_rep(rep)
         new = jnp.where(core, jnp.minimum(rep, hooked), rep)
         # pointer doubling (guard INF sentinels)
         safe = jnp.where(new == _INF_I32, 0, new)
@@ -120,7 +137,7 @@ def dbscan(features: jnp.ndarray, valid: jnp.ndarray, eps: float | jnp.ndarray,
     rep, _, _ = jax.lax.while_loop(cond, body, (rep0, jnp.asarray(True), 0))
 
     # attach border points: min root among core neighbors
-    border_rep = _min_rep_over_core_neighbors(feats, core, eps2, rep)
+    border_rep = min_rep(rep)
     point_rep = jnp.where(core, rep, border_rep)
     assigned = validp & (point_rep != _INF_I32)
 

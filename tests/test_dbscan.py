@@ -81,6 +81,20 @@ def test_dbscan_chain_cluster():
     assert (ours == 0).all()
 
 
+def test_dbscan_tiled_path_matches_sklearn():
+    """Padded size above _FULL_MATRIX_MAX exercises the tiled-scan path."""
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-10, 10, size=(3, 3))
+    pts = np.concatenate([c + rng.normal(scale=0.2, size=(60, 3)) for c in centers]
+                         + [rng.uniform(-12, 12, size=(30, 3))]).astype(np.float32)
+    sk = DBSCAN(eps=0.5, min_samples=5).fit(pts)
+    ours, core = _run(pts, 0.5, 5, capacity=8704)  # > _FULL_MATRIX_MAX
+    _partition_equal(ours, sk.labels_)
+    sk_core = np.zeros(len(pts), bool)
+    sk_core[sk.core_sample_indices_] = True
+    np.testing.assert_array_equal(core, sk_core)
+
+
 def test_dbscan_shared_border_point():
     """Adversarial case: a border point reachable from the cores of TWO clusters.
 
