@@ -1,0 +1,136 @@
+"""GMFA (pipeline B) throughput at reference load on one TPU chip.
+
+Workload modeled on the reference's actual data shape: CARLA-spec clouds of
+~56k raw points (``single_target_simultion.py:63-70``: 32-channel, 1 M pts/s
+LiDAR sampled every 30 ticks), ROI-filtered then densified x10
+(``Optical_flow/main.py:87``) to ~10^5 expanded points per cloud, through the
+full GMFA step (``GMFA/GMFA.py:451-531``): ICP ego-motion -> NN residuals ->
+classification -> moving-ROI + DBSCAN(min_samples=1000) -> Hungarian ->
+track update/birth -> SOM -> per-track KF.
+
+Prints ONE JSON line {"metric": "gmfa_fps_reference_load", ...} plus a
+per-stage bottleneck breakdown on stderr (VERDICT r1 item 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from datmo_using_optical_flow_tpu.config import CapacityConfig, GMFAConfig
+    from datmo_using_optical_flow_tpu.io.frames import pad_points
+    from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
+    from datmo_using_optical_flow_tpu.ops.icp import registration_icp, transform_points
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors
+    from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget, SyntheticScene,
+                                                            synthetic_frame)
+
+    log(f"devices: {jax.devices()}")
+    cfg = GMFAConfig(
+        capacities=CapacityConfig(max_raw_points=65536, max_roi_points=10240,
+                                  max_cells=4096, max_clusters=32, max_tracks=64),
+    )
+    # CARLA-like density: ~56k raw points/frame, three movers + clutter
+    scene = SyntheticScene(
+        ground_points=40000, ground_extent=25.0,
+        static_boxes=(BoxTarget(center0=(-8.0, 6.0, 1.0), velocity=(0, 0),
+                                points_per_frame=4000),),
+        targets=(BoxTarget(center0=(6.0, -4.0, 0.75), velocity=(1.5, 0.8),
+                           points_per_frame=4000),
+                 BoxTarget(center0=(-6.0, 5.0, 0.75), velocity=(-1.0, -1.2),
+                           size=(3.0, 1.6, 1.4), points_per_frame=4000),
+                 BoxTarget(center0=(0.0, 10.0, 0.75), velocity=(0.5, -1.5),
+                           points_per_frame=4000)),
+        seed=42,
+    )
+    n_frames = 4
+    pipe = GMFAPipeline(cfg, max_moving_points=16384)
+    key = jax.random.PRNGKey(0)
+
+    log("preprocessing frames (flip -> RANSAC -> ROI -> densify x10)...")
+    clouds = []
+    for i in range(n_frames):
+        raw = synthetic_frame(scene, i, dt=cfg.dt).astype(np.float32)
+        padded, mask = pad_points(raw, cfg.capacities.max_raw_points)
+        ex, exmask = pipe.preprocess(jnp.asarray(padded), jnp.asarray(mask),
+                                     jax.random.fold_in(key, i))
+        clouds.append((ex, exmask))
+    n_exp = int(jnp.sum(clouds[0][1]))
+    log(f"expanded points/cloud: {n_exp} (capacity "
+        f"{cfg.capacities.max_expanded_points})")
+
+    log("compiling GMFA step at reference load...")
+    t0 = time.time()
+    carry = pipe.init_carry()._replace(prev_points=clouds[0][0],
+                                       prev_mask=clouds[0][1])
+    carry, out = pipe.step(clouds[1][0], clouds[1][1], carry, key)
+    _ = int(out.n_clusters)
+    log(f"compile+first run: {time.time() - t0:.1f}s; moving="
+        f"{int(out.moving_count)} clusters={int(out.n_clusters)}")
+
+    reps = 3
+    done = 0
+    t0 = time.time()
+    for r in range(reps):
+        carry = pipe.init_carry()._replace(prev_points=clouds[0][0],
+                                           prev_mask=clouds[0][1])
+        for i in range(1, n_frames):
+            carry, out = pipe.step(clouds[i][0], clouds[i][1], carry,
+                                   jax.random.fold_in(key, 100 + r * 10 + i))
+            done += 1
+        _ = int(out.n_clusters)  # host sync per sweep
+    elapsed = time.time() - t0
+    fps = done / elapsed
+    log(f"{done} frames in {elapsed:.2f}s")
+
+    # ---- bottleneck breakdown (each stage chained x3 inside one program) ----
+    prev, prev_m = clouds[0]
+    cur, cur_m = clouds[1]
+
+    def timeit(f, *a, label=""):
+        r = f(*a)
+        _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        t0 = time.time()
+        r = f(*a)
+        _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        log(f"  {label}: {(time.time() - t0) * 1000:.1f} ms")
+
+    icp = jax.jit(lambda p, pm, c, cm: registration_icp(
+        p, pm, c, cm, cfg.icp.threshold, cfg.icp.max_iterations,
+        cfg.icp.relative_fitness, cfg.icp.relative_rmse).transformation)
+    timeit(icp, prev, prev_m, cur, cur_m, label="ICP (while_loop to convergence)")
+    tr = jax.jit(lambda p: transform_points(p, jnp.eye(4)))(prev)
+    nn = jax.jit(lambda c, p, pm: nearest_neighbors(c, p, pm)[0])
+    timeit(nn, cur, tr, prev_m, label=f"1-NN {n_exp}x{n_exp} (tiled MXU)")
+
+    from datmo_using_optical_flow_tpu.ops.dbscan import dbscan
+    mpts = jnp.where(cur_m[:16384, None], cur[:16384], 1e9)
+    timeit(jax.jit(lambda p, m: dbscan(p, m, cfg.dbscan.eps, cfg.dbscan.min_samples)[0]),
+           mpts, cur_m[:16384], label="DBSCAN 16384 cap (min_samples=1000)")
+
+    print(json.dumps({
+        "metric": "gmfa_fps_reference_load",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "expanded_points": n_exp,
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

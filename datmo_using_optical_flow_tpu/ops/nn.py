@@ -25,6 +25,19 @@ def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
     Returns ``(idx (N,), sqdist (N,))``; if no valid target exists, idx = 0 and
     sqdist = +inf.  M is padded internally to the tile size.
     """
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    if nn_pallas.eligible(tgt.shape[0]):
+        return nn_pallas.nearest_neighbors_pallas(src, tgt, tgt_mask)
+    return nearest_neighbors_scan(src, tgt, tgt_mask)
+
+
+@partial(jax.jit, static_argnames=())
+def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
+                           tgt_mask: jnp.ndarray
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled-scan XLA fallback for target clouds too large for the Pallas
+    kernel's VMEM-resident layout (> ops.nn_pallas.MAX_TARGET points)."""
     n = src.shape[0]
     m = tgt.shape[0]
     pad = (-m) % _TILE
@@ -41,7 +54,7 @@ def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
         d2 = sn[:, None] + tn[None, :] - 2.0 * (src @ tile.T)
         d2 = jnp.where(tm[None, :], jnp.maximum(d2, 0.0), jnp.inf)
         ti = jnp.argmin(d2, axis=1)
-        td = jnp.take_along_axis(d2, ti[:, None], axis=1)[:, 0]
+        td = jnp.min(d2, axis=1)  # NOT take_along_axis: that would be a gather
         take = td < best_d
         return (jnp.where(take, td, best_d),
                 jnp.where(take, ti + j * _TILE, best_i)), None

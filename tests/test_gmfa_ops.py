@@ -39,6 +39,25 @@ def test_nearest_neighbors_empty_target():
     assert np.isinf(np.asarray(d2)).all()
 
 
+def test_nearest_neighbors_scan_path_matches_pallas():
+    """The large-target XLA fallback == the Pallas kernel (incl. tie order)."""
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_scan
+
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(300, 3)).astype(np.float32)
+    # quantized coords force exact distance ties across tiles
+    tgt = (rng.integers(-3, 4, size=(1100, 3))).astype(np.float32)
+    tgt_pad = np.full((1536, 3), 1e9, np.float32)
+    tgt_pad[:1100] = tgt
+    mask = np.zeros(1536, bool)
+    mask[:1100] = True
+    i1, d1 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt_pad), jnp.asarray(mask))
+    i2, d2 = nearest_neighbors_scan(jnp.asarray(src), jnp.asarray(tgt_pad),
+                                    jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+
+
 # ------------------------------------------------------------------ ICP
 
 def _rigid(yaw, t):
