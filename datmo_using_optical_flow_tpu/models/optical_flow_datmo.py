@@ -139,35 +139,52 @@ class PipelineA:
         """
         return self._stream_step(bev, carry)
 
+    # above this grid size, scan_steps dispatches per-frame instead of using
+    # lax.scan: at 1080p the scan now COMPILES fine (~47 s — the Pallas warp
+    # custom-call fixed round 1's >40 min pathology) but the scan loop RUNS
+    # ~330x slower than per-frame dispatch on this backend (12.9 s/pair vs
+    # 39 ms, measured); at 200x200 the single-program scan is the faster form.
+    SCAN_MAX_CELLS = 512 * 512
+
     def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry
                    ) -> tuple[StepCarry, StepOutputs]:
-        """Process a whole clip in ONE device program: ``lax.scan`` over the
-        (T, H, W) BEV stack's consecutive pairs with O(1) carried state
-        (SURVEY.md §5.7's temporal scaling axis).  Returns the final carry and
-        T-1 stacked per-pair outputs.
-
-        Note: on the current backend, compiling a scan over the full 1080p step
-        is slow — prefer :meth:`step` in a host loop for interactive use; the
-        scan shines for long clips at moderate grid sizes.
+        """Process a whole clip with O(1) carried state (SURVEY.md §5.7's
+        temporal scaling axis): ``lax.scan`` over the (T, H, W) BEV stack in
+        ONE device program at moderate grid sizes, or per-frame async dispatch
+        of the same stream step above ``SCAN_MAX_CELLS`` (measured trade-off
+        on the class attribute).  Same semantics either way: returns the final
+        carry and T-1 stacked per-pair outputs.
         """
         cfg, fast_warp, use_pallas = self.cfg, self.fast_warp, self.use_pallas
-        pyr0 = self.init_stream_carry().pyr
+        h, w = cfg.grid_shape
+        sc = StreamCarry(step=carry, pyr=self.init_stream_carry().pyr,
+                         frame_valid=jnp.asarray(False),
+                         has_frame=jnp.asarray(False))
+
+        if h * w > self.SCAN_MAX_CELLS:
+            # large grids: per-frame dispatch (async, keeps the device busy),
+            # then stack the per-pair outputs on device
+            sc, _ = self.step_stream(bevs[0], sc)
+            outs = []
+            for i in range(1, bevs.shape[0]):
+                sc, out = self.step_stream(bevs[i], sc)
+                outs.append(out)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            return sc.step, stacked
 
         @jax.jit
-        def run(stack, c0):
+        def run(stack, sc0):
             def body(c, bev):
                 return _stream_step_impl(bev, c, cfg=cfg, fast_warp=fast_warp,
                                          use_pallas=use_pallas)
 
             # prime the pyramid with frame 0, then scan the remaining frames
             # (each frame's polynomial expansion runs once, not twice)
-            sc = StreamCarry(step=c0, pyr=pyr0, frame_valid=jnp.asarray(False),
-                             has_frame=jnp.asarray(False))
-            sc, _ = body(sc, stack[0])
-            final, outs = jax.lax.scan(body, sc, stack[1:])
+            sc0, _ = body(sc0, stack[0])
+            final, outs = jax.lax.scan(body, sc0, stack[1:])
             return final.step, outs
 
-        return run(bevs, carry)
+        return run(bevs, sc)
 
     # -------------------------------------------------------------- host runner
 

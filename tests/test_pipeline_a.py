@@ -181,6 +181,25 @@ def test_scan_steps_matches_host_loop(cfg, bev_seq):
                                np.asarray(carry.table.state), atol=1e-4)
 
 
+def test_scan_steps_large_grid_dispatch_matches_scan(cfg, bev_seq):
+    """The per-frame dispatch branch (grids above SCAN_MAX_CELLS) produces the
+    same results as the single-program lax.scan branch."""
+    pipe = PipelineA(cfg, fast_warp=False)
+    stack = jnp.asarray(np.stack(bev_seq))
+    f_scan, o_scan = pipe.scan_steps(stack, pipe.init_carry())
+    old = PipelineA.SCAN_MAX_CELLS
+    try:
+        PipelineA.SCAN_MAX_CELLS = 1  # force the dispatch branch
+        f_d, o_d = pipe.scan_steps(stack, pipe.init_carry())
+    finally:
+        PipelineA.SCAN_MAX_CELLS = old
+    np.testing.assert_allclose(np.asarray(o_d.velocity_x),
+                               np.asarray(o_scan.velocity_x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o_d.labels), np.asarray(o_scan.labels))
+    np.testing.assert_allclose(np.asarray(f_d.table.state),
+                               np.asarray(f_scan.table.state), atol=1e-4)
+
+
 def test_process_files_renders_pngs(cfg, tmp_path):
     """save_png=True renders the reference's PNG artifact set (saving_utils
     :67,:77,:117,:142)."""
