@@ -72,6 +72,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from datmo_using_optical_flow_tpu.utils.compile_cache import enable as enable_cache
+
+    log(f"compile cache: {enable_cache()}")
+
     from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
     from datmo_using_optical_flow_tpu.models.optical_flow_datmo import (PipelineA,
                                                                         _step_impl)
@@ -86,7 +90,7 @@ def main() -> None:
     assert cfg.grid_shape == (h, w), cfg.grid_shape
 
     log(f"devices: {jax.devices()}")
-    n_frames = 5
+    n_frames = 25  # 1 priming frame + six CHUNK=4 dispatches per sweep
     frames = make_frames(n_frames, h, w)
     dev_frames = [jnp.asarray(f) for f in frames]
 
@@ -99,6 +103,11 @@ def main() -> None:
     # than the allocation it saves) — see BENCHMARKS.md
     from datmo_using_optical_flow_tpu.models.optical_flow_datmo import _stream_step_impl
 
+    # One async dispatch per frame: enqueue costs <1 ms on this backend, so
+    # back-to-back step dispatches pipeline and the device is the bottleneck.
+    # (Batching k steps into one XLA program was measured SLOWER — 47.7 vs
+    # 28.3 ms/frame for k=4 — the multi-step program schedules pathologically,
+    # like the 1080p lax.scan; see PipelineA.SCAN_MAX_CELLS.)
     @jax.jit
     def step(bev, carry):
         new_carry, out = _stream_step_impl(bev, carry, cfg=cfg, fast_warp=True,
@@ -129,6 +138,8 @@ def main() -> None:
         _ = int(tracks)  # host sync once per sweep (streaming-style async dispatch)
         elapsed += time.time() - t0
     fps = done / elapsed
+    log(f"per-frame {elapsed / done * 1e3:.2f} ms "
+        f"({n_frames - 1} async step dispatches + 1 sync per sweep)")
     log(f"{done} frame pairs in {elapsed:.2f}s; final tracks={int(tracks)}")
 
     print(json.dumps({

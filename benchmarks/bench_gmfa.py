@@ -30,6 +30,9 @@ def log(msg: str) -> None:
 
 def main() -> None:
     import jax
+
+    from datmo_using_optical_flow_tpu.utils.compile_cache import enable as _ec
+    _ec()
     import jax.numpy as jnp
 
     from datmo_using_optical_flow_tpu.config import CapacityConfig, GMFAConfig
@@ -102,13 +105,28 @@ def main() -> None:
     prev, prev_m = clouds[0]
     cur, cur_m = clouds[1]
 
+    # per-timed-call dispatch+readback constant (subtracted from every probe:
+    # the tunnel costs ~30 ms per synchronous round trip)
+    tiny = jax.jit(lambda a: a + 1.0)
+    _ = float(tiny(jnp.float32(1)))
+    rts = []
+    for _i in range(5):
+        t0 = time.time()
+        _ = float(tiny(jnp.float32(1)))
+        rts.append((time.time() - t0) * 1000)
+    rt = min(rts)
+    log(f"  (dispatch+readback constant: {rt:.1f} ms, subtracted below)")
+
     def timeit(f, *a, label=""):
         r = f(*a)
         _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
-        t0 = time.time()
-        r = f(*a)
-        _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
-        log(f"  {label}: {(time.time() - t0) * 1000:.1f} ms")
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.time()
+            r = f(*a)
+            _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+            best = min(best, (time.time() - t0) * 1000)
+        log(f"  {label}: {max(best - rt, 0.0):.1f} ms")
 
     icp = jax.jit(lambda p, pm, c, cm: registration_icp(
         p, pm, c, cm, cfg.icp.threshold, cfg.icp.max_iterations,

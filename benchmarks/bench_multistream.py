@@ -23,6 +23,9 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    from datmo_using_optical_flow_tpu.utils.compile_cache import enable as _ec
+    _ec()
     import jax.numpy as jnp
 
     from bench import make_frames

@@ -123,12 +123,234 @@ def box_blur_solve(M: jnp.ndarray, winsize: int) -> tuple[jnp.ndarray, jnp.ndarr
     return blur_solve(M, winsize, gaussian=False)
 
 
+# ------------------------------------------------------------ fused iteration
+#
+# One kernel per refinement iteration: warp + matrix assembly + window
+# aggregation + 2x2 solve, with the M planes never leaving VMEM.  The grid
+# walks row strips in a look-behind pipeline: step t warps strip t into a VMEM
+# slot, then blurs/solves strip t-1 (whose vertical window spans strips
+# t-2..t, all resident).  Replaces the warp_matrices -> blur_solve pair, whose
+# M round trip (write 42 MB + re-read ~60 MB at 1080p) was pure HBM traffic.
+
+FS = 16   # fused-kernel strip rows (multiple of 8; 24 exceeds scoped VMEM at 1080p)
+_TAIL = 8  # retained rows of the t-2 strip (>= winsize//2, 8-aligned)
+
+
+def _window_sum(v, n_out: int, axis: int, winsize: int) -> jnp.ndarray:
+    """Sliding-window sum of ``winsize`` consecutive elements along ``axis``
+    (output positions 0..n_out-1) via a log-tree of shifted partial sums:
+    ~2*log2(winsize) adds instead of winsize-1 per output.  Binary-decomposes
+    the window (15 = 8+4+2+1), so the f32 grouping differs from a sequential
+    tap loop by ~winsize*eps relative — far inside the flow parity budget."""
+    levels = []
+    cur, width = v, 1
+    while True:
+        levels.append((cur, width))
+        if width * 2 > winsize:
+            break
+        n = cur.shape[axis]
+        cur = (jax.lax.slice_in_dim(cur, 0, n - width, axis=axis)
+               + jax.lax.slice_in_dim(cur, width, n, axis=axis))
+        width *= 2
+    out, off = None, 0
+    for arr, wd in reversed(levels):
+        if wd <= winsize - (off):
+            piece = jax.lax.slice_in_dim(arr, off, off + n_out, axis=axis)
+            out = piece if out is None else out + piece
+            off += wd
+    return out
+
+
+def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
+                  tail, mcur, mtmp, win, rowbuf, vacc, mbb, sem, *,
+                  h: int, w: int, wp: int, ww: int, taps: tuple[float, ...],
+                  scale: float, n_strips: int):
+    from datmo_using_optical_flow_tpu.ops import warp_pallas
+
+    t = pl.program_id(0)
+    s = FS
+    r = len(taps) // 2
+    wh = s + 2 * warp_pallas.YOFF
+    hv = h - (n_strips - 1) * s  # valid rows in the last strip (static)
+
+    # ---- warp strip t into mtmp (skipped on the final drain step) ----
+    # (single-buffered window DMA: the kernel is VPU-bound, double-buffered
+    # prefetch measured no faster)
+    @pl.when(t < n_strips)
+    def _():
+        copy = pltpu.make_async_copy(
+            r1_hbm.at[:, pl.ds(jnp.minimum(t, n_strips - 1) * s, wh), :], win,
+            sem)
+        copy.start()
+        warp_pallas._warp_into(mtmp, win, r0_ref, dx_ref, dy_ref, copy,
+                               h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf)
+
+    # ---- blur + solve strip t-1 from (tail, mcur, mtmp) ----
+    @pl.when(t >= 1)
+    def _():
+        # edge replication (BORDER_REPLICATE semantics of the unfused path,
+        # ops/farneback.py:box_blur5): above row 0 / below row h-1 the window
+        # replicates the edge M row.  Full-block ref rewrites keep the
+        # accumulation below unconditional (and sublane-aligned).
+        @pl.when(t == 1)
+        def _():
+            for c in range(5):
+                tail[c] = jnp.concatenate(
+                    [tail[c, 0:_TAIL - r, :],
+                     jnp.broadcast_to(mcur[c, 0:1, :], (r, wp))], axis=0)
+
+        @pl.when(t == n_strips)
+        def _():
+            for c in range(5):
+                if hv < s:
+                    mcur[c] = jnp.concatenate(
+                        [mcur[c, 0:hv, :],
+                         jnp.broadcast_to(mcur[c, hv - 1:hv, :], (s - hv, wp))],
+                        axis=0)
+                mtmp[c] = jnp.concatenate(
+                    [jnp.broadcast_to(mcur[c, hv - 1:hv, :], (r, wp)),
+                     mtmp[c, r:s, :]], axis=0)
+
+        winsize = len(taps)
+
+        def term(x, wgt):
+            return x if wgt == 1.0 else np.float32(wgt) * x
+
+        # per channel: vertical pass (output row i aggregates logical rows
+        # i-r..i+r of strip t-1: rows [-r, 0) live in tail[-r:], [0, s) in
+        # mcur, [s, s+r) in mtmp[:r]), then the horizontal pass with
+        # edge-replicated columns.  The box window (uniform taps) uses the
+        # log-tree :func:`_window_sum` (~2x fewer VPU adds); Gaussian taps
+        # accumulate in ascending order like blur_solve.  Both passes land in
+        # scratch refs (vacc/mbb): long value chains made Mosaic's scoped-VMEM
+        # stack exceed the 16 MB limit.
+        box = all(wgt == 1.0 for wgt in taps)
+        for c in range(5):
+            if box:
+                v0 = jnp.concatenate([tail[c, _TAIL - r:_TAIL, :],
+                                      mcur[c, :, :], mtmp[c, 0:r, :]], axis=0)
+                vacc[...] = _window_sum(v0, s, 0, winsize)
+            else:
+                for k in range(winsize):
+                    off = k - r
+                    if off < 0:
+                        piece = jnp.concatenate([tail[c, _TAIL + off:_TAIL, :],
+                                                 mcur[c, 0:s + off, :]], axis=0)
+                    elif off == 0:
+                        piece = mcur[c, :, :]
+                    else:
+                        piece = jnp.concatenate([mcur[c, off:s, :],
+                                                 mtmp[c, 0:off, :]], axis=0)
+                    contrib = term(piece, taps[k])
+                    vacc[...] = contrib if k == 0 else vacc[...] + contrib
+
+            if box:
+                h0 = jnp.concatenate(
+                    [jnp.broadcast_to(vacc[:, 0:1], (s, r)), vacc[:, 0:w],
+                     jnp.broadcast_to(vacc[:, w - 1:w], (s, r))], axis=1)
+                mbb[c] = _window_sum(h0, w, 1, winsize)
+            else:
+                for k in range(winsize):
+                    off = k - r
+                    if off < 0:
+                        piece = jnp.concatenate(
+                            [jnp.broadcast_to(vacc[:, 0:1], (s, -off)),
+                             vacc[:, 0:w + off]], axis=1)
+                    elif off == 0:
+                        piece = vacc[:, 0:w]
+                    else:
+                        piece = jnp.concatenate(
+                            [vacc[:, off:w],
+                             jnp.broadcast_to(vacc[:, w - 1:w], (s, off))], axis=1)
+                    contrib = term(piece, taps[k])
+                    mbb[c] = contrib if k == 0 else mbb[c] + contrib
+
+        g11 = mbb[0] * np.float32(scale)
+        g12 = mbb[1] * np.float32(scale)
+        g22 = mbb[2] * np.float32(scale)
+        h1 = mbb[3] * np.float32(scale)
+        h2 = mbb[4] * np.float32(scale)
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        odx_ref[...] = (g11 * h2 - g12 * h1) * idet
+        ody_ref[...] = (g22 * h1 - g12 * h2) * idet
+
+    # ---- ring shift: tail <- mcur's last rows, mcur <- mtmp ----
+    for c in range(5):
+        tail[c] = mcur[c, s - _TAIL:s, :]
+        mcur[c] = mtmp[c]
+
+
+def fused_iteration(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
+                    dy: jnp.ndarray, winsize: int, gaussian: bool
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One full refinement iteration (update_matrices + blur + solve) as a
+    single look-behind Pallas kernel; M stays in VMEM.  ``R1_padded`` from
+    ``warp_pallas._pad_r1(R1, s=FS)`` (shared across the level's iterations).
+    Matches ``blur_solve(warp_matrices(...), winsize)`` up to f32 grouping."""
+    from datmo_using_optical_flow_tpu.ops import warp_pallas
+
+    _, h, w = R0.shape
+    s = FS
+    n_strips = -(-h // s)
+    hp = n_strips * s
+    wp = -(-w // 128) * 128
+    ww = R1_padded.shape[2]
+    r = winsize // 2
+    if gaussian:
+        taps = _gauss_taps(winsize)
+        scale = 1.0
+    else:
+        taps = (1.0,) * winsize
+        scale = 1.0 / (winsize * winsize)
+
+    def pad_hw(x):
+        return jnp.pad(x, ((0, hp - h), (0, wp - w)))
+
+    r0p = jnp.pad(R0, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    kernel = partial(_fused_kernel, h=h, w=w, wp=wp, ww=ww, taps=taps,
+                     scale=scale, n_strips=n_strips)
+    odx, ody = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        grid=(n_strips + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((5, s, wp),
+                               lambda t: (0, jnp.minimum(t, n_strips - 1), 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((s, wp),
+                               lambda t: (jnp.minimum(t, n_strips - 1), 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((s, wp),
+                               lambda t: (jnp.minimum(t, n_strips - 1), 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((s, w), lambda t: (jnp.maximum(t - 1, 0), 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((s, w), lambda t: (jnp.maximum(t - 1, 0), 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((hp, w), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, w), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((5, _TAIL, wp), jnp.float32),  # tail of strip t-2
+            pltpu.VMEM((5, s, wp), jnp.float32),      # mcur (strip t-1)
+            pltpu.VMEM((5, s, wp), jnp.float32),      # mtmp (strip t)
+            pltpu.VMEM((5, s + 2 * warp_pallas.YOFF, ww), jnp.float32),  # win
+            pltpu.VMEM((5, -(-(s + 1) // 8) * 8, ww), jnp.float32),  # rowbuf
+            pltpu.VMEM((s, wp), jnp.float32),     # vacc (vertical blur acc)
+            pltpu.VMEM((5, s, w), jnp.float32),   # mbb (blurred M channels)
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(R1_padded, r0p, pad_hw(dx), pad_hw(dy))
+    return odx[:h], ody[:h]
+
+
 def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
                     dy: jnp.ndarray, winsize: int, iterations: int,
                     gaussian: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pyramid level on the Pallas path: shift-decomposition warp kernel for
-    the matrices (with an in-graph fallback to the packed-gather path when the
-    flow exceeds the warp window) + the fused blur/solve kernel.
+    """Pyramid level on the Pallas path: each refinement iteration is ONE
+    fused warp+aggregate+solve kernel (:func:`fused_iteration`; M planes never
+    leave VMEM), with an in-graph fallback to the packed-gather XLA warp +
+    blur/solve kernel when the flow exceeds the warp window.
 
     Small levels stay entirely on the XLA packed-gather path — their gathers
     are cheap and the strip-grid overhead would dominate.
@@ -139,22 +361,28 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
 
     _, h, w = R0.shape
     if warp_pallas.eligible(h, w):
-        r1p = warp_pallas._pad_r1(R1)
+        r1p = warp_pallas._pad_r1(R1, s=FS)
 
-        def um(dxi, dyi):
+        def step(dxi, dyi):
             def fast(args):
-                return warp_pallas.warp_matrices(R0, r1p, *args)
+                return fused_iteration(R0, r1p, args[0], args[1], winsize,
+                                       gaussian)
 
             def slow(args):
-                return update_matrices(R0, R1, *args, pack_corner_pairs(R1))
+                m = update_matrices(R0, R1, *args, pack_corner_pairs(R1))
+                return blur_solve(m, winsize, gaussian)
 
             return jax.lax.cond(warp_pallas.flow_in_range(dxi, dyi),
                                 fast, slow, (dxi, dyi))
-    else:
-        packed = pack_corner_pairs(R1)
 
-        def um(dxi, dyi):
-            return update_matrices(R0, R1, dxi, dyi, packed)
+        for _ in range(iterations):
+            dx, dy = step(dx, dy)
+        return dx, dy
+
+    packed = pack_corner_pairs(R1)
+
+    def um(dxi, dyi):
+        return update_matrices(R0, R1, dxi, dyi, packed)
 
     M = um(dx, dy)
     for i in range(iterations):

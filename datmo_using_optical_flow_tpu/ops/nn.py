@@ -65,6 +65,43 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
     return best_i, best_d
 
 
+@partial(jax.jit, static_argnames=())
+def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
+                             tgt_mask: jnp.ndarray, active: jnp.ndarray
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """1-NN for only the ``active`` subset of source rows; cost scales with the
+    subset size (the cached-ICP hot path, :func:`ops.icp.registration_icp`).
+
+    Active rows get exactly what :func:`nearest_neighbors` would return
+    (bit-identical: each row's reduction is row-independent); inactive rows
+    return idx=0 / sqdist=+inf.  Implemented by compacting active rows to the
+    front (cumsum-position scatter, O(N)), running the Pallas kernel with an
+    ``n_active`` scalar that lets whole inactive source blocks skip the target
+    sweep, and scattering results back.
+    """
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    n = src.shape[0]
+    if not nn_pallas.eligible(tgt.shape[0]):
+        # fallback: full sweep, masked outputs (no savings, used by CPU tests
+        # and oversized targets)
+        idx, d2 = nearest_neighbors(src, tgt, tgt_mask)
+        return (jnp.where(active, idx, 0),
+                jnp.where(active, d2, jnp.inf))
+
+    a = active.astype(jnp.int32)
+    n_active = jnp.sum(a)
+    pos_a = jnp.cumsum(a) - 1
+    pos_i = n_active + jnp.cumsum(1 - a) - 1
+    dest = jnp.where(active, pos_a, pos_i)          # original row -> compact slot
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
+    idx_c, d2_c = nn_pallas.nearest_neighbors_pallas(src[perm], tgt, tgt_mask,
+                                                     n_active)
+    idx = jnp.zeros((n,), idx_c.dtype).at[perm].set(idx_c)
+    d2 = jnp.full((n,), jnp.inf, d2_c.dtype).at[perm].set(d2_c)
+    return jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf)
+
+
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,
                      ref_mask: jnp.ndarray) -> jnp.ndarray:
     """Replace each point by its nearest valid reference point

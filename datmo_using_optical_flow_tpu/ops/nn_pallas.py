@@ -29,7 +29,23 @@ _TGT_TILE = 512
 MAX_TARGET = 1 << 18
 
 
-def _kernel(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
+def _kernel(na_ref, tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
+    # blocks whose every source row is inactive (row index >= na_ref[0]) skip
+    # the target sweep entirely: the per-iteration cost of the cached-ICP path
+    # (ops/icp.py) scales with the number of re-queried points, not with N
+    t = pl.program_id(0)
+
+    @pl.when(t * _SRC_BLOCK < na_ref[0])
+    def _():
+        _kernel_body(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, m_tiles=m_tiles)
+
+    @pl.when(t * _SRC_BLOCK >= na_ref[0])
+    def _():
+        di_ref[...] = jnp.zeros_like(di_ref)
+        dd_ref[...] = jnp.full_like(dd_ref, jnp.inf)
+
+
+def _kernel_body(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
     src = src_ref[...]                      # (B, 8)
@@ -63,14 +79,23 @@ def _kernel(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
 
 
 def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
-                             tgt_mask: jnp.ndarray
+                             tgt_mask: jnp.ndarray,
+                             n_active: jnp.ndarray | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for :func:`ops.nn.nearest_neighbors` (same contract: first-min
-    tie-breaking, idx=0 / sqdist=+inf when no valid target)."""
+    tie-breaking, idx=0 / sqdist=+inf when no valid target).
+
+    ``n_active`` (scalar int32, optional): only the first ``n_active`` source
+    rows are queried; whole source blocks past it skip the target sweep (their
+    outputs are idx=0 / +inf).  Callers compact active sources to the front
+    (:func:`ops.nn.nearest_neighbors_active`).
+    """
     n = src.shape[0]
     m = tgt.shape[0]
     mp = -(-m // _TGT_TILE) * _TGT_TILE
     np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
+    if n_active is None:
+        n_active = jnp.int32(n)
 
     srcf = jnp.pad(src.astype(jnp.float32), ((0, np_ - n), (0, 5)))
     # invalid/padded targets: coords zeroed, norm +inf -> d2 = +inf
@@ -86,7 +111,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 8, T)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) n_active
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 8, T)
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 1, T)
                   pl.BlockSpec((_SRC_BLOCK, 8), lambda t: (t, 0),
                                memory_space=pltpu.VMEM)],
@@ -96,7 +122,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((np_, 1), jnp.int32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)),
-    )(tgtf.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
+    )(jnp.asarray(n_active, jnp.int32).reshape(1),
+      tgtf.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
       tn.reshape(m_tiles, 1, _TGT_TILE), srcf)
     return idx[:n, 0], d2[:n, 0]
 

@@ -60,12 +60,22 @@ def _axis_atten(idx_f: jnp.ndarray, size: int) -> jnp.ndarray:
     return out
 
 
-def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
-            *, h: int, w: int, wp: int, ww: int):
-    t = pl.program_id(0)
-    copy = pltpu.make_async_copy(r1_hbm.at[:, pl.ds(t * S, WH), :], win, sem)
-    copy.start()
+def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
+               wp: int, ww: int, s: int, t, rowbuf=None):
+    """Shift-decomposition warp + update_matrices algebra for one ``s``-row
+    strip starting at row ``t*s``; writes the five M planes into ``m_ref``
+    (any (5, s, wp)-shaped ref).  ``copy`` is the in-flight R1-window DMA
+    (waited after the flow weights are derived).  Shared by the standalone
+    warp kernel below and the fused warp+blur+solve kernel
+    (:func:`ops.flow_pallas.fused_iteration`).
 
+    ``rowbuf`` (optional (5, >=s+1, ww) scratch): stage the per-``a`` row roll
+    once and lane-roll from it per ``b`` — halves the scoped-VMEM peak of the
+    inner loop (one window-sized temporary instead of two), which the fused
+    kernel needs to stay under the 16 MB budget.
+
+    ``copy`` may be ``None`` when the caller already waited for the window
+    (double-buffered prefetch in the fused kernel)."""
     dx = dx_ref[...]
     dy = dy_ref[...]
     x1 = jnp.floor(dx)
@@ -77,8 +87,9 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
     a10 = fy * (1 - fx)
     a11 = fy * fx
 
-    gi = (t * S + jax.lax.broadcasted_iota(jnp.int32, (S, wp), 0)).astype(jnp.float32)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (S, wp), 1).astype(jnp.float32)
+    wh = s + 2 * YOFF
+    gi = (t * s + jax.lax.broadcasted_iota(jnp.int32, (s, wp), 0)).astype(jnp.float32)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (s, wp), 1).astype(jnp.float32)
     inside = ((x1 + gj >= 0) & (x1 + gj < w - 1)
               & (y1 + gi >= 0) & (y1 + gi < h - 1))
 
@@ -92,39 +103,51 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
 
     # warped-R1 accumulators live in m_ref (reused before final assembly)
     for c in range(5):
-        m_ref[c] = jnp.zeros((S, wp), jnp.float32)
-    copy.wait()
+        m_ref[c] = jnp.zeros((s, wp), jnp.float32)
+    if copy is not None:
+        copy.wait()
 
     def body_a(a, _):
         ma = y1 == a.astype(jnp.float32)
 
         @pl.when(jnp.any(ma))
         def _():
-            maf = ma.astype(jnp.float32)
             blo = jnp.min(jnp.where(ma, x1, jnp.inf)).astype(jnp.int32)
             bhi = jnp.max(jnp.where(ma, x1, -jnp.inf)).astype(jnp.int32)
-            w00 = maf * a00
-            w01 = maf * a01
-            w10 = maf * a10
-            w11 = maf * a11
-            shift = (WH - (YOFF + a)) % WH
+            shift = (wh - (YOFF + a)) % wh
+            if rowbuf is not None:
+                nb = rowbuf.shape[1]
+                rowbuf[...] = pltpu.roll(win[...], shift, 1)[:, :nb, :]
 
             def body_b(b, __):
-                # recompute the row roll per b: a rowbuf scratch would be ~7%
-                # faster but pushes the kernel past the 16 MB VMEM budget
-                bshift = (ww - (XOFF + b)) % ww
-                p = pltpu.roll(pltpu.roll(win[...], shift, 1)[:, :S + 1, :],
-                               bshift, 2)
-                mb = (x1 == b.astype(jnp.float32)).astype(jnp.float32)
-                u00 = w00 * mb
-                u01 = w01 * mb
-                u10 = w10 * mb
-                u11 = w11 * mb
-                for c in range(5):
-                    m_ref[c] = (m_ref[c] + u00 * p[c, :S, :wp]
-                                + u01 * p[c, :S, 1:wp + 1]
-                                + u10 * p[c, 1:S + 1, :wp]
-                                + u11 * p[c, 1:S + 1, 1:wp + 1])
+                # [blo, bhi] can have gaps (no pixel with this (a, b) shift —
+                # e.g. background at b=0 plus one object at b=5): testing the
+                # mask (~3 VPU passes) before the ~25-pass accumulate skips
+                # empty blocks
+                mbm = ma & (x1 == b.astype(jnp.float32))
+
+                @pl.when(jnp.any(mbm))
+                def _():
+                    # without rowbuf: recompute the row roll per b (the
+                    # standalone kernel's out-block budget has no room for the
+                    # scratch)
+                    bshift = (ww - (XOFF + b)) % ww
+                    if rowbuf is not None:
+                        p = pltpu.roll(rowbuf[...], bshift, 2)
+                    else:
+                        p = pltpu.roll(
+                            pltpu.roll(win[...], shift, 1)[:, :s + 1, :],
+                            bshift, 2)
+                    mb = mbm.astype(jnp.float32)
+                    u00 = a00 * mb
+                    u01 = a01 * mb
+                    u10 = a10 * mb
+                    u11 = a11 * mb
+                    for c in range(5):
+                        m_ref[c] = (m_ref[c] + u00 * p[c, :s, :wp]
+                                    + u01 * p[c, :s, 1:wp + 1]
+                                    + u10 * p[c, 1:s + 1, :wp]
+                                    + u11 * p[c, 1:s + 1, 1:wp + 1])
                 return 0
 
             jax.lax.fori_loop(blo, bhi + 1, body_b, 0)
@@ -157,11 +180,20 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
     m_ref[4] = r6 * r2 + r5 * r3
 
 
-@partial(jax.jit, static_argnames=())
-def _pad_r1(R1: jnp.ndarray) -> jnp.ndarray:
+def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
+            *, h: int, w: int, wp: int, ww: int):
+    t = pl.program_id(0)
+    copy = pltpu.make_async_copy(r1_hbm.at[:, pl.ds(t * S, WH), :], win, sem)
+    copy.start()
+    _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy,
+               h=h, w=w, wp=wp, ww=ww, s=S, t=t)
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _pad_r1(R1: jnp.ndarray, s: int = S) -> jnp.ndarray:
     """Zero-pad R1 (5, h, w) to the window layout (5, Hp + 2*YOFF, WW)."""
     _, h, w = R1.shape
-    hp = -(-h // S) * S
+    hp = -(-h // s) * s
     ww = -(-(w + 2 * XOFF) // 128) * 128
     return jnp.pad(R1, ((0, 0), (YOFF, YOFF + hp - h), (XOFF, ww - w - XOFF)))
 

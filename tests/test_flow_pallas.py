@@ -116,6 +116,28 @@ def test_warp_pallas_fallback_out_of_range():
     np.testing.assert_allclose(np.asarray(got_dy), np.asarray(exp_dy), atol=1e-4)
 
 
+def test_fused_iteration_matches_two_kernel_path():
+    """The single-kernel warp+blur+solve iteration (M resident in VMEM) ==
+    warp_matrices -> blur_solve, including partial last strips (h % FS != 0)
+    and both aggregation windows."""
+    from datmo_using_optical_flow_tpu.ops.flow_pallas import (FS, blur_solve,
+                                                              fused_iteration)
+
+    rng = np.random.default_rng(9)
+    for h, w, win, gaussian in ((160, 384, 15, False), (140, 300, 15, False),
+                                (132, 384, 7, True)):
+        R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        dxn, dyn = _smooth_flow(h, w, seed=h)
+        dx, dy = jnp.asarray(dxn), jnp.asarray(dyn)
+        assert wp.eligible(h, w) and bool(wp.flow_in_range(dx, dy))
+        gdx, gdy = fused_iteration(R0, wp._pad_r1(R1, s=FS), dx, dy, win, gaussian)
+        M = wp.warp_matrices(R0, wp._pad_r1(R1), dx, dy)
+        edx, edy = blur_solve(M, win, gaussian)
+        np.testing.assert_allclose(np.asarray(gdx), np.asarray(edx), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gdy), np.asarray(edy), atol=2e-4)
+
+
 def test_farneback_pallas_warp_full_flow_matches_cv2():
     """Full pyramid with the warp kernel active at the top level vs cv2."""
     rng = np.random.default_rng(5)

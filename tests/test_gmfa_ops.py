@@ -58,6 +58,31 @@ def test_nearest_neighbors_scan_path_matches_pallas():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
 
 
+def test_nearest_neighbors_active_matches_full():
+    """Active-subset 1-NN (the cached-ICP hot path) == the full query on active
+    rows, idx=0/+inf on inactive ones — including compaction round-trip."""
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_active
+
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(500, 3)).astype(np.float32)
+    tgt = rng.normal(size=(4096, 3)).astype(np.float32)  # >= pallas threshold
+    mask = np.ones(4096, bool)
+    mask[4000:] = False
+    for frac in (0.0, 0.3, 1.0):
+        active = rng.uniform(size=500) < frac
+        ia, da = nearest_neighbors_active(jnp.asarray(src), jnp.asarray(tgt),
+                                          jnp.asarray(mask), jnp.asarray(active))
+        i0, d0 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
+                                   jnp.asarray(mask))
+        ia, da, i0, d0 = map(np.asarray, (ia, da, i0, d0))
+        np.testing.assert_array_equal(ia[active], i0[active])
+        # on-device both paths run the same Mosaic binary per row (bit-equal);
+        # CPU interpret mode re-fuses the kernel body into each surrounding
+        # graph, which can reassociate f32 math by ~1 ulp
+        np.testing.assert_allclose(da[active], d0[active], rtol=3e-5, atol=1e-7)
+        assert (ia[~active] == 0).all() and np.isinf(da[~active]).all()
+
+
 # ------------------------------------------------------------------ ICP
 
 def _rigid(yaw, t):
@@ -103,6 +128,42 @@ def test_icp_matches_numpy_oracle():
     res = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
                            jnp.asarray(m), threshold=0.5)
     np.testing.assert_allclose(np.asarray(res.transformation), oracle_t, atol=5e-3)
+
+
+def test_icp_cached_matches_uncached():
+    """Incremental correspondence search (cached=True) is bit-identical to the
+    full re-query path — the Lipschitz exclusion bound never drops a point that
+    the full path would gate in (GMFA.py:297-309 semantics preserved)."""
+    rng = np.random.default_rng(11)
+    # dense cloud + tight threshold: most points sit far outside the
+    # correspondence shell (the case the cache accelerates), others cross the
+    # shell as the transform converges
+    cloud = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    true = _rigid(0.01, [0.05, -0.03, 0.01])
+    target = (cloud @ true[:3, :3].T + true[:3, 3]
+              + rng.normal(scale=0.01, size=cloud.shape)).astype(np.float32)
+    pad = 4096  # >= pallas-eligibility floor so the active kernel runs
+    src = np.full((pad, 3), 1e9, np.float32)
+    src[:3000] = cloud
+    dst = np.full((pad, 3), 1e9, np.float32)
+    dst[:3000] = target
+    m = np.zeros(pad, bool)
+    m[:3000] = True
+    for thr in (0.05, 0.5):
+        ref = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=False)
+        got = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True)
+        # bit-identical on device (same Mosaic kernel per re-queried row; the
+        # exclusion bound is conservative); CPU interpret mode admits ~ulp
+        # refusion drift, so compare at tight float tolerance
+        np.testing.assert_allclose(np.asarray(ref.transformation),
+                                   np.asarray(got.transformation),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.fitness), np.asarray(got.fitness),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
+                                   np.asarray(got.inlier_rmse), rtol=1e-4)
 
 
 def test_transform_points():
