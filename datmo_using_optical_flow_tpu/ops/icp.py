@@ -31,6 +31,7 @@ class IcpResult(NamedTuple):
     transformation: jnp.ndarray  # (4, 4)
     fitness: jnp.ndarray         # scalar: |correspondences| / |valid source|
     inlier_rmse: jnp.ndarray     # scalar
+    iterations: jnp.ndarray = jnp.asarray(0)  # while_loop steps taken (diagnostic)
 
 
 def _kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -49,67 +50,54 @@ def _kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(4).at[:3, :3].set(r).at[:3, 3].set(t)
 
 
-# Conservative bound on the NN kernel's absolute f32 error on a squared
-# distance (catastrophic cancellation in ||s||^2 - 2 s.t + ||t||^2 at ROI-scale
-# coordinates, |p| <= ~30 m -> ~6e-4; 6x headroom).  Only inflates the cached
-# path's re-query shell — never its correctness (see registration_icp).
-_D2_ERR = 4e-3
+# Safety pad (meters) on the per-iteration displacement when shrinking the
+# exclusion shell: covers the f32 rounding of ||p' - q|| at ROI-scale
+# coordinates.  The d2 lower bound itself comes from the NN kernel
+# (ops/nn_pallas.py: sound per-candidate envelope on the recentered
+# expansion), so no d2-level slack is needed here.
+_DELTA_PAD = 1e-4
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cached"))
-def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
-                     target: jnp.ndarray, target_mask: jnp.ndarray,
-                     threshold: float = 0.02, max_iterations: int = 30,
-                     relative_fitness: float = 1e-6,
-                     relative_rmse: float = 1e-6,
-                     cached: bool | None = None) -> IcpResult:
-    """ICP with identity init (the reference always passes I, GMFA.py:302).
-
-    ``cached`` enables incremental correspondence search (default for targets
-    >= 4096 points): the NN distance function is 1-Lipschitz in the query
-    position, so a source point whose last exact NN distance ``d`` (measured at
-    query position ``q``) satisfies ``d - ||p' - q|| > threshold`` is GUARANTEED
-    to stay outside ``max_correspondence_distance`` at its new position ``p'``
-    — only points inside that shrinking shell re-query the target
-    (:func:`ops.nn.nearest_neighbors_active`; cost scales with the shell size,
-    not N).  Results are bit-identical to the uncached path: re-queried rows
-    run the same per-row kernel math, excluded rows are provably
-    non-correspondences (the bound is widened by ``_D2_ERR`` to dominate the
-    kernel's own f32 rounding), and Open3D's convergence criteria see identical
-    fitness/rmse sequences.
-    """
-    n = source.shape[0]
-    srcf = source.astype(jnp.float32)
-    tgtf = target.astype(jnp.float32)
-    smask = source_mask
+def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
+               max_iterations, init_transform, cached):
+    """One ICP while_loop phase (Open3D criteria) from ``init_transform``.
+    Returns the converged transform."""
+    n = srcf.shape[0]
     n_valid = jnp.maximum(jnp.sum(smask.astype(jnp.float32)), 1.0)
-    thr2 = jnp.float32(threshold * threshold)
-    if cached is None:
-        cached = target.shape[0] >= 4096
 
     def eval_full(transform, cache):
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
-        idx, d2 = nearest_neighbors(pts, tgtf, target_mask)
+        idx, _ = nearest_neighbors(pts, tgtf, tmask)
+        # exact d2 on the winner (direct subtraction): the kernel's expansion
+        # form carries ~|p|^2*eps absolute noise (~2e-4 at ROI scale), as large
+        # as the 0.02^2 correspondence gate — Open3D gates in doubles, and the
+        # noisy gate makes fitness jitter above the 1e-6 convergence criteria
+        diff = pts - tgtf[idx]
+        d2 = jnp.sum(diff * diff, axis=1)
         corr = smask & (d2 <= thr2)
         return pts, idx, d2, corr, cache
 
     def eval_cached(transform, cache):
-        d2_old, idx_old, qpos = cache
+        lo_old, idx_old, qpos = cache
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
-        delta = jnp.linalg.norm(pts - qpos, axis=1)
-        # lower bound on the true NN distance at the previous query position,
-        # then at the new one (reverse triangle inequality), both widened by
-        # the kernel's d2 rounding envelope
-        lo_old = jnp.sqrt(jnp.maximum(d2_old - _D2_ERR, 0.0))
-        lo_new = lo_old - delta
-        excluded = (lo_new > 0.0) & (lo_new * lo_new - _D2_ERR > thr2)
+        delta = jnp.linalg.norm(pts - qpos, axis=1) + _DELTA_PAD
+        # the kernel's sound lower bound on the true NN distance at the last
+        # query position, moved to the new position by the reverse triangle
+        # inequality: points provably outside the correspondence threshold
+        # skip the target sweep
+        lo_new = jnp.sqrt(lo_old) - delta
+        excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
         need = smask & ~excluded
-        idx_new, d2_new = nearest_neighbors_active(pts, tgtf, target_mask, need)
-        cache = (jnp.where(need, d2_new, d2_old),
-                 jnp.where(need, idx_new, idx_old),
+        idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need)
+        idx = jnp.where(need, idx_new, idx_old)
+        # exact d2 at the winner (direct subtraction; see eval_full)
+        diff = pts - tgtf[idx]
+        d2 = jnp.sum(diff * diff, axis=1)
+        cache = (jnp.where(need, lo_q, lo_old),
+                 idx,
                  jnp.where(need[:, None], pts, qpos))
-        corr = need & (d2_new <= thr2)
-        return pts, cache[1], jnp.where(need, d2_new, jnp.inf), corr, cache
+        corr = need & (d2 <= thr2)
+        return pts, idx, d2, corr, cache
 
     eval_state = eval_cached if cached else eval_full
 
@@ -138,15 +126,74 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
         new_transform = update @ transform
         return new_transform, fitness, rmse, f1, r1, it + 1, cache
 
-    cache0 = (jnp.zeros((n,), jnp.float32),            # d2 at last query
+    cache0 = (jnp.zeros((n,), jnp.float32),            # d2 lower bound at last query
               jnp.zeros((n,), jnp.int32),              # NN index at last query
               jnp.full((n, 3), 1e9, jnp.float32))      # last query position
-    init = (jnp.eye(4), jnp.float32(0.0), jnp.float32(0.0),
+    init = (init_transform, jnp.float32(0.0), jnp.float32(0.0),
             jnp.float32(-1.0), jnp.float32(-1.0), 0, cache0)
-    transform, _, _, _, _, _, cache = jax.lax.while_loop(cond, body, init)
-    _, _, d2, corr, _ = eval_state(transform, cache)
+    transform, _, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return transform, it, eval_state, observables, cache0
+
+
+# source clouds at or above this size default to the coarse-to-fine schedule
+_COARSE_MIN = 1 << 15
+_COARSE_STRIDE = 4
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "cached", "coarse_stride"))
+def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
+                     target: jnp.ndarray, target_mask: jnp.ndarray,
+                     threshold: float = 0.02, max_iterations: int = 30,
+                     relative_fitness: float = 1e-6,
+                     relative_rmse: float = 1e-6,
+                     cached: bool | None = None,
+                     coarse_stride: int | None = None) -> IcpResult:
+    """ICP with identity init (the reference always passes I, GMFA.py:302).
+
+    ``cached`` (default: on for targets >= 32k points) enables incremental
+    correspondence search: the NN distance is 1-Lipschitz in the query
+    position, so a source point whose kernel-certified lower bound on its NN
+    distance (ops/nn_pallas.py), minus its displacement accumulated since the
+    bound was measured, stays above ``max_correspondence_distance`` provably
+    cannot become a correspondence — it skips the target sweep
+    (:func:`ops.nn.nearest_neighbors_active`).  At GMFA's quirk threshold
+    (0.02 m on LiDAR-scale clouds, GMFA.py:305 — fitness ~0.003) almost every
+    point is excluded after the first sweep, so the 30-iteration loop costs a
+    couple of full sweeps instead of 30.  Exact: excluded points are provably
+    non-correspondences, and correspondence d2 is recomputed by direct
+    subtraction (faithful to Open3D's double-precision gating).
+
+    ``coarse_stride`` (default: off) runs a first while_loop phase on every
+    ``stride``-th source/target point (1/stride^2 sweep cost), then reruns the
+    full-resolution loop from the coarse transform.  Helps only when the
+    convergence criteria fire before ``max_iterations``; at GMFA's threshold
+    they do not (fitness jitter >> 1e-6), so it stays off by default.  Fixed
+    point pinned by tests/test_gmfa_ops.py::test_icp_coarse_matches_full.
+    """
+    srcf = source.astype(jnp.float32)
+    tgtf = target.astype(jnp.float32)
+    smask = source_mask
+    thr2 = jnp.float32(threshold * threshold)
+    if cached is None:
+        cached = target.shape[0] >= _COARSE_MIN
+    if coarse_stride is None:
+        coarse_stride = 1
+
+    t0 = jnp.eye(4)
+    it_c = jnp.asarray(0)
+    if coarse_stride > 1:
+        cs = coarse_stride
+        t0, it_c, _, _, _ = _icp_phase(srcf[::cs], smask[::cs], tgtf[::cs],
+                                       target_mask[::cs], thr2, relative_fitness,
+                                       relative_rmse, max_iterations, t0,
+                                       cached=False)
+
+    transform, it_f, eval_state, observables, cache0 = _icp_phase(
+        srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
+        max_iterations, t0, cached)
+    _, _, d2, corr, _ = eval_state(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
-    return IcpResult(transform, fitness, rmse)
+    return IcpResult(transform, fitness, rmse, it_c + it_f)
 
 
 def transform_points(points: jnp.ndarray, transformation: jnp.ndarray) -> jnp.ndarray:

@@ -4,6 +4,14 @@ TPU-native replacement for the reference's per-point Python KDTree loops
 (``GMFA/GMFA.py:84-91`` and :109-119 — its worst hot loop: one Python->C++ FLANN
 call per point).  Here the whole N x M problem is tiled squared-distance matmuls
 on the MXU with a running (min-dist, argmin) reduction — no tree, no host loop.
+
+Sources are Morton-sorted before the Pallas kernel so each source block is
+spatially compact; the kernel recenters every block on a representative point,
+which drops the near-candidate d2 error from ~|p|^2*eps (~1e-4 at ROI scale —
+as large as GMFA's 0.02^2 ICP gate) to ~alpha*(d+r)^2, and makes the kernel's
+sound lower bound on the true min d2 tight enough to drive the
+incremental-ICP exclusion shell (ops/icp.py).  Targets are NEVER reordered, so
+first-minimum tie-breaking (KDTree/cKDTree parity) is preserved exactly.
 """
 
 from __future__ import annotations
@@ -16,6 +24,21 @@ import jax.numpy as jnp
 _TILE = 512
 
 
+def _morton_keys(p: jnp.ndarray) -> jnp.ndarray:
+    """int32 Morton (Z-order) codes of (N, 3) points, 10 bits/dim over the
+    data's bounding box.  Used only as a spatial sort key — any tie/rounding
+    behavior is harmless (sorting sources is contract-free)."""
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    scale = jnp.where(hi > lo, 1023.0 / jnp.maximum(hi - lo, 1e-12), 0.0)
+    q = jnp.clip((p - lo) * scale, 0.0, 1023.0).astype(jnp.int32)  # (N, 3)
+    key = jnp.zeros(p.shape[:1], jnp.int32)
+    for bit in range(10):
+        for d in range(3):
+            key = key | (((q[:, d] >> bit) & 1) << (3 * bit + d))
+    return key
+
+
 @partial(jax.jit, static_argnames=())
 def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -25,11 +48,45 @@ def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
     Returns ``(idx (N,), sqdist (N,))``; if no valid target exists, idx = 0 and
     sqdist = +inf.  M is padded internally to the tile size.
     """
+    idx, d2, _ = nearest_neighbors_with_bound(src, tgt, tgt_mask)
+    return idx, d2
+
+
+@partial(jax.jit, static_argnames=())
+def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
+                                 tgt_mask: jnp.ndarray
+                                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`nearest_neighbors` plus a SOUND lower bound on the true min d2
+    per row (true NN d2 >= bound; equality-tight up to the kernel's per-tile
+    error envelope).  The incremental-ICP shell (ops/icp.py) builds on it."""
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
     if nn_pallas.eligible(tgt.shape[0]):
-        return nn_pallas.nearest_neighbors_pallas(src, tgt, tgt_mask)
-    return nearest_neighbors_scan(src, tgt, tgt_mask)
+        n = src.shape[0]
+        order = jnp.argsort(_morton_keys(src), stable=True)
+        idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
+            src[order], tgt, tgt_mask)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
+        # exact d2 at the winner (direct subtraction, one cheap gather): the
+        # sweep value carries the recentered expansion's rounding; the
+        # returned distance should be faithful to the returned neighbor
+        diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+        exact = jnp.sum(diff * diff, axis=1)
+        d2 = jnp.where(jnp.isfinite(d2), exact, d2)
+        return idx, d2, jnp.minimum(lo, d2)
+    idx, d2 = nearest_neighbors_scan(src, tgt, tgt_mask)
+    return idx, d2, _scan_lower_bound(src, tgt, tgt_mask, d2)
+
+
+def _scan_lower_bound(src, tgt, tgt_mask, d2):
+    """Conservative error envelope for the un-recentered scan path: the
+    expansion's absolute d2 error is bounded by ~10 ulp of (|s|^2 + max|t|^2)."""
+    sn = jnp.sum(src.astype(jnp.float32) ** 2, axis=1)
+    tn = jnp.where(tgt_mask, jnp.sum(tgt.astype(jnp.float32) ** 2, axis=1), 0.0)
+    env = jnp.float32(2e-6) * (sn + jnp.max(tn)) + jnp.float32(1e-6)
+    return jnp.maximum(d2 - env, 0.0)
 
 
 @partial(jax.jit, static_argnames=())
@@ -68,16 +125,17 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
 @partial(jax.jit, static_argnames=())
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray, active: jnp.ndarray
-                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """1-NN for only the ``active`` subset of source rows; cost scales with the
-    subset size (the cached-ICP hot path, :func:`ops.icp.registration_icp`).
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """1-NN (+ lower bound) for only the ``active`` subset of source rows; cost
+    scales with the subset size (the incremental-ICP hot path,
+    :func:`ops.icp.registration_icp`).
 
-    Active rows get exactly what :func:`nearest_neighbors` would return
-    (bit-identical: each row's reduction is row-independent); inactive rows
-    return idx=0 / sqdist=+inf.  Implemented by compacting active rows to the
-    front (cumsum-position scatter, O(N)), running the Pallas kernel with an
-    ``n_active`` scalar that lets whole inactive source blocks skip the target
-    sweep, and scattering results back.
+    Active rows get exactly what :func:`nearest_neighbors_with_bound` would
+    return (bit-identical: each row's reduction is row-independent); inactive
+    rows return idx=0 / +inf / +inf.  One stable argsort on
+    ``(inactive, morton)`` both compacts active rows to the front AND keeps
+    each source block spatially coherent; the Pallas kernel's ``n_active``
+    scalar lets whole inactive blocks skip the target sweep.
     """
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
@@ -85,21 +143,24 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     if not nn_pallas.eligible(tgt.shape[0]):
         # fallback: full sweep, masked outputs (no savings, used by CPU tests
         # and oversized targets)
-        idx, d2 = nearest_neighbors(src, tgt, tgt_mask)
+        idx, d2, lo = nearest_neighbors_with_bound(src, tgt, tgt_mask)
         return (jnp.where(active, idx, 0),
-                jnp.where(active, d2, jnp.inf))
+                jnp.where(active, d2, jnp.inf),
+                jnp.where(active, lo, jnp.inf))
 
-    a = active.astype(jnp.int32)
-    n_active = jnp.sum(a)
-    pos_a = jnp.cumsum(a) - 1
-    pos_i = n_active + jnp.cumsum(1 - a) - 1
-    dest = jnp.where(active, pos_a, pos_i)          # original row -> compact slot
-    perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
-    idx_c, d2_c = nn_pallas.nearest_neighbors_pallas(src[perm], tgt, tgt_mask,
-                                                     n_active)
-    idx = jnp.zeros((n,), idx_c.dtype).at[perm].set(idx_c)
-    d2 = jnp.full((n,), jnp.inf, d2_c.dtype).at[perm].set(d2_c)
-    return jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf)
+    key = _morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
+    order = jnp.argsort(key, stable=True)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
+        src[order], tgt, tgt_mask, n_active)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
+    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+    exact = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
+    lo = jnp.minimum(lo, d2)
+    return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
+            jnp.where(active, lo, jnp.inf))
 
 
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,

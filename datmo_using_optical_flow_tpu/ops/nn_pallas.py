@@ -6,10 +6,23 @@ reference-scale problem (~10^5 x 10^5 after x10 densification,
 and NN residual alignment ``GMFA.py:84-91,109-119``).  The XLA formulation
 materializes each (N, 512) distance tile to HBM — ~42 GB of traffic for the
 full problem (~520 ms measured); here the whole padded target cloud (~3 MB as
-(M, 8) f32) sits in VMEM, each 1024-row source block runs K=8 matmuls on the
-MXU and a running (min, argmin) reduction entirely on-chip, and only the (N,)
-results are written.  Measured ~25 ms for 102400^2 — ~20x faster, bit-identical
-indices (first-minimum tie-breaking preserved).
+(M, 8) f32) sits in VMEM, each source block runs K=8 matmuls on the MXU and a
+running (min, argmin) reduction entirely on-chip, and only the (N,) results
+are written.  Measured ~28 ms for 102400^2 — ~20x faster, bit-identical
+indices (first-minimum tie-breaking preserved: targets are never reordered).
+
+Precision: the expansion ``|s|^2 + |t|^2 - 2 s.t`` at ROI-scale coordinates
+(|p| ~ 30 m -> |p|^2 ~ 900) carries ~1e-4 absolute noise on d2 — as large as
+GMFA's 0.02^2 ICP correspondence gate.  The caller therefore recenters each
+SOURCE block on a representative point ``c`` (sources may be reordered freely
+— each row's reduction is independent), and the kernel computes
+``|s-c|^2 + |t-c|^2 - 2 (s-c).(t-c)`` with ``|t-c|^2`` by direct subtraction:
+for the candidates that can win (near the query), every term is O((d+r)^2)
+with r the block radius, so the near-candidate d2 error drops to ~alpha*(d+r)^2
+with alpha ~ 1e-5.  The kernel also returns a SOUND lower bound on the true
+min d2 (min over candidates of ``d2_cand - alpha*(sn' + tn'_cand)``, one extra
+fused VPU pass on an MXU-bound kernel) — the incremental-ICP exclusion shell
+(ops/icp.py) is built on it.
 """
 
 from __future__ import annotations
@@ -28,36 +41,50 @@ _TGT_TILE = 512
 # comfortably; callers fall back to the tiled-scan XLA path
 MAX_TARGET = 1 << 18
 
+# Per-candidate relative error envelope of the recentered expansion: the
+# 8-term dot + norm sums + final combine accumulate <= ~10 ulps on operands
+# bounded by (sn' + tn'_cand); 2^-23 * 10 * safety 4 ~ 5e-6 -> use 1e-5.
+ALPHA = np.float32(1e-5)
 
-def _kernel(na_ref, tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
+
+def _kernel(na_ref, tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
+            di_ref, dd_ref, dl_ref, *, m_tiles: int):
     # blocks whose every source row is inactive (row index >= na_ref[0]) skip
-    # the target sweep entirely: the per-iteration cost of the cached-ICP path
-    # (ops/icp.py) scales with the number of re-queried points, not with N
+    # the target sweep entirely: the per-iteration cost of the incremental-ICP
+    # path (ops/icp.py) scales with the number of re-queried points, not N
     t = pl.program_id(0)
 
     @pl.when(t * _SRC_BLOCK < na_ref[0])
     def _():
-        _kernel_body(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, m_tiles=m_tiles)
+        _kernel_body(tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
+                     di_ref, dd_ref, dl_ref, m_tiles=m_tiles)
 
     @pl.when(t * _SRC_BLOCK >= na_ref[0])
     def _():
         di_ref[...] = jnp.zeros_like(di_ref)
         dd_ref[...] = jnp.full_like(dd_ref, jnp.inf)
+        dl_ref[...] = jnp.full_like(dl_ref, jnp.inf)
 
 
-def _kernel_body(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
+def _kernel_body(tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
+                 di_ref, dd_ref, dl_ref, *, m_tiles: int):
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
-    src = src_ref[...]                      # (B, 8)
-    b = src.shape[0]
-    sn = jnp.sum(src * src, axis=1, keepdims=True)          # (B, 1)
+    cent_row = cent_row_ref[0][0:1, :]      # (1, 8) block representative
+    cent_col = cent_col_ref[0][:, 0:1]      # (8, 1) same, coords on sublanes
+    sp = src_ref[...] - cent_row            # (B, 8) recentered sources
+    b = sp.shape[0]
+    sn = jnp.sum(sp * sp, axis=1, keepdims=True)            # (B, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, _TGT_TILE), 1)
 
     def tile_step(j, carry):
-        best_d, best_i = carry              # (B, 1) each
+        best_d, best_i, best_lo = carry     # (B, 1) each
         tile = tgt_ref[j]                   # (8, T): lane dim = points
-        tn = tn_ref[j]                      # (1, T) +inf where invalid/padding
-        cross = jax.lax.dot_general(src, tile,
+        tn_raw = tn_ref[j]                  # (1, T) +inf where invalid/padding
+        tp = tile - cent_col                # (8, T) recentered targets
+        tpn = jnp.sum(tp * tp, axis=0, keepdims=True)       # (1, T) exact-ish
+        tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
+        cross = jax.lax.dot_general(sp, tp,
                                     dimension_numbers=(((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         # sn is constant per row: leave it out of the (B, T) pass (it shifts
@@ -69,35 +96,52 @@ def _kernel_body(tgt_ref, tn_ref, src_ref, di_ref, dd_ref, *, m_tiles: int):
         ti = jnp.min(jnp.where(d2 == td, col, jnp.int32(2**30)),
                      axis=1, keepdims=True) + j * _TGT_TILE
         take = td < best_d                  # strict: earlier tile wins ties
-        return jnp.where(take, td, best_d), jnp.where(take, ti, best_i)
+        # sound per-candidate lower bound: subtract alpha*tpn here (tpn, not
+        # tn: inf - inf*alpha would be NaN on invalid columns) and alpha*sn
+        # after the loop
+        tl = jnp.min(d2 - ALPHA * tpn, axis=1, keepdims=True)
+        return (jnp.where(take, td, best_d), jnp.where(take, ti, best_i),
+                jnp.minimum(best_lo, tl))
 
     best_d = jnp.full((b, 1), jnp.inf, jnp.float32)
     best_i = jnp.zeros((b, 1), jnp.int32)
-    best_d, best_i = jax.lax.fori_loop(0, m_tiles, tile_step, (best_d, best_i))
+    best_lo = jnp.full((b, 1), jnp.inf, jnp.float32)
+    best_d, best_i, best_lo = jax.lax.fori_loop(0, m_tiles, tile_step,
+                                                (best_d, best_i, best_lo))
     di_ref[...] = best_i
     dd_ref[...] = jnp.maximum(best_d + sn, 0.0)
+    dl_ref[...] = jnp.maximum(best_lo + (1.0 - ALPHA) * sn - ALPHA, 0.0)
 
 
 def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray,
-                             n_active: jnp.ndarray | None = None
-                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in for :func:`ops.nn.nearest_neighbors` (same contract: first-min
+                             n_active: jnp.ndarray | None = None,
+                             block_centers: jnp.ndarray | None = None
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """1-NN of each ``src`` row among valid ``tgt`` rows (first-min
     tie-breaking, idx=0 / sqdist=+inf when no valid target).
+
+    Returns ``(idx, sqdist, sqdist_lower_bound)``; the bound is sound (true
+    min d2 >= bound) and tight when sources are spatially sorted so each
+    _SRC_BLOCK is compact (see :func:`ops.nn.nearest_neighbors_with_bound`).
 
     ``n_active`` (scalar int32, optional): only the first ``n_active`` source
     rows are queried; whole source blocks past it skip the target sweep (their
-    outputs are idx=0 / +inf).  Callers compact active sources to the front
-    (:func:`ops.nn.nearest_neighbors_active`).
+    outputs are idx=0 / +inf).  ``block_centers`` ((n_blocks, 3), optional):
+    per-block recentering points (default: each block's first row).
     """
     n = src.shape[0]
     m = tgt.shape[0]
     mp = -(-m // _TGT_TILE) * _TGT_TILE
     np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
+    n_blocks = np_ // _SRC_BLOCK
     if n_active is None:
         n_active = jnp.int32(n)
 
     srcf = jnp.pad(src.astype(jnp.float32), ((0, np_ - n), (0, 5)))
+    if block_centers is None:
+        block_centers = srcf.reshape(n_blocks, _SRC_BLOCK, 8)[:, 0, :3]
+    cent = jnp.pad(block_centers.astype(jnp.float32), ((0, 0), (0, 5)))
     # invalid/padded targets: coords zeroed, norm +inf -> d2 = +inf
     tgtf = jnp.where(tgt_mask[:, None], tgt.astype(jnp.float32), 0.0)
     tgtf = jnp.pad(tgtf, ((0, mp - m), (0, 5)))
@@ -105,9 +149,9 @@ def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
     tn = jnp.where(jnp.pad(tgt_mask, ((0, mp - m),)), tn, jnp.inf)
     m_tiles = mp // _TGT_TILE
 
-    grid = (np_ // _SRC_BLOCK,)
+    grid = (n_blocks,)
     kernel = partial(_kernel, m_tiles=m_tiles)
-    idx, d2 = pl.pallas_call(
+    idx, d2, lo = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=grid,
@@ -115,17 +159,26 @@ def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 8, T)
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 1, T)
                   pl.BlockSpec((_SRC_BLOCK, 8), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 8), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),   # coords on lanes
+                  pl.BlockSpec((1, 8, 8), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],  # coords on sublanes
         out_specs=(pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)),
     )(jnp.asarray(n_active, jnp.int32).reshape(1),
       tgtf.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
-      tn.reshape(m_tiles, 1, _TGT_TILE), srcf)
-    return idx[:n, 0], d2[:n, 0]
+      tn.reshape(m_tiles, 1, _TGT_TILE), srcf,
+      jnp.broadcast_to(cent[:, None, :], (n_blocks, 8, 8)),
+      jnp.broadcast_to(cent[:, :, None], (n_blocks, 8, 8)))
+    return idx[:n, 0], d2[:n, 0], lo[:n, 0]
 
 
 def eligible(m: int) -> bool:

@@ -70,16 +70,17 @@ def test_nearest_neighbors_active_matches_full():
     mask[4000:] = False
     for frac in (0.0, 0.3, 1.0):
         active = rng.uniform(size=500) < frac
-        ia, da = nearest_neighbors_active(jnp.asarray(src), jnp.asarray(tgt),
-                                          jnp.asarray(mask), jnp.asarray(active))
+        ia, da, la = nearest_neighbors_active(jnp.asarray(src), jnp.asarray(tgt),
+                                              jnp.asarray(mask), jnp.asarray(active))
         i0, d0 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
                                    jnp.asarray(mask))
-        ia, da, i0, d0 = map(np.asarray, (ia, da, i0, d0))
+        ia, da, la, i0, d0 = map(np.asarray, (ia, da, la, i0, d0))
         np.testing.assert_array_equal(ia[active], i0[active])
         # on-device both paths run the same Mosaic binary per row (bit-equal);
         # CPU interpret mode re-fuses the kernel body into each surrounding
         # graph, which can reassociate f32 math by ~1 ulp
         np.testing.assert_allclose(da[active], d0[active], rtol=3e-5, atol=1e-7)
+        assert (la[active] <= da[active] + 1e-7).all()  # bound is sound
         assert (ia[~active] == 0).all() and np.isinf(da[~active]).all()
 
 
@@ -128,6 +129,33 @@ def test_icp_matches_numpy_oracle():
     res = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
                            jnp.asarray(m), threshold=0.5)
     np.testing.assert_allclose(np.asarray(res.transformation), oracle_t, atol=5e-3)
+
+
+def test_icp_coarse_matches_full():
+    """The coarse-to-fine schedule (stride-subsampled first phase, then the
+    full-resolution loop) reaches the same fixed point as the single-phase
+    full-resolution loop — only the iterate path differs."""
+    rng = np.random.default_rng(5)
+    for seed, yaw, t in ((0, 0.02, [0.1, -0.05, 0.02]),
+                         (1, -0.04, [-0.2, 0.1, 0.0])):
+        rng = np.random.default_rng(seed)
+        cloud = rng.uniform(-15, 15, size=(4096, 3)).astype(np.float32)
+        true = _rigid(yaw, t)
+        target = (cloud @ true[:3, :3].T + true[:3, 3]
+                  + rng.normal(scale=0.02, size=cloud.shape)).astype(np.float32)
+        m = np.ones(4096, bool)
+        ref = registration_icp(jnp.asarray(cloud), jnp.asarray(m),
+                               jnp.asarray(target), jnp.asarray(m),
+                               threshold=0.5, coarse_stride=1)
+        got = registration_icp(jnp.asarray(cloud), jnp.asarray(m),
+                               jnp.asarray(target), jnp.asarray(m),
+                               threshold=0.5, coarse_stride=4)
+        np.testing.assert_allclose(np.asarray(got.transformation),
+                                   np.asarray(ref.transformation), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got.fitness),
+                                   np.asarray(ref.fitness), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.inlier_rmse),
+                                   np.asarray(ref.inlier_rmse), atol=1e-3)
 
 
 def test_icp_cached_matches_uncached():
