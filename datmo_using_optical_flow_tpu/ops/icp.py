@@ -59,7 +59,7 @@ _DELTA_PAD = 1e-4
 
 
 def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
-               max_iterations, init_transform, cached):
+               max_iterations, init_transform, cached, tgt_index=None):
     """One ICP while_loop phase (Open3D criteria) from ``init_transform``.
     Returns the converged transform."""
     n = srcf.shape[0]
@@ -88,7 +88,8 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         lo_new = jnp.sqrt(lo_old) - delta
         excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
         need = smask & ~excluded
-        idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need)
+        idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need,
+                                                    index=tgt_index)
         idx = jnp.where(need, idx_new, idx_old)
         # exact d2 at the winner (direct subtraction; see eval_full)
         diff = pts - tgtf[idx]
@@ -179,6 +180,13 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     if coarse_stride is None:
         coarse_stride = 1
 
+    tgt_index = None
+    if cached:
+        from datmo_using_optical_flow_tpu.ops import nn_pallas
+        if nn_pallas.eligible(target.shape[0]):
+            # built once; every incremental re-query reuses it
+            tgt_index = nn_pallas.build_target_index(tgtf, target_mask)
+
     t0 = jnp.eye(4)
     it_c = jnp.asarray(0)
     if coarse_stride > 1:
@@ -190,7 +198,7 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
 
     transform, it_f, eval_state, observables, cache0 = _icp_phase(
         srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
-        max_iterations, t0, cached)
+        max_iterations, t0, cached, tgt_index=tgt_index)
     _, _, d2, corr, _ = eval_state(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
     return IcpResult(transform, fitness, rmse, it_c + it_f)

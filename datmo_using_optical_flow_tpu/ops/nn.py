@@ -24,21 +24,6 @@ import jax.numpy as jnp
 _TILE = 512
 
 
-def _morton_keys(p: jnp.ndarray) -> jnp.ndarray:
-    """int32 Morton (Z-order) codes of (N, 3) points, 10 bits/dim over the
-    data's bounding box.  Used only as a spatial sort key — any tie/rounding
-    behavior is harmless (sorting sources is contract-free)."""
-    lo = jnp.min(p, axis=0)
-    hi = jnp.max(p, axis=0)
-    scale = jnp.where(hi > lo, 1023.0 / jnp.maximum(hi - lo, 1e-12), 0.0)
-    q = jnp.clip((p - lo) * scale, 0.0, 1023.0).astype(jnp.int32)  # (N, 3)
-    key = jnp.zeros(p.shape[:1], jnp.int32)
-    for bit in range(10):
-        for d in range(3):
-            key = key | (((q[:, d] >> bit) & 1) << (3 * bit + d))
-    return key
-
-
 @partial(jax.jit, static_argnames=())
 def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -63,9 +48,10 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
 
     if nn_pallas.eligible(tgt.shape[0]):
         n = src.shape[0]
-        order = jnp.argsort(_morton_keys(src), stable=True)
+        index = nn_pallas.build_target_index(tgt, tgt_mask)
+        order = jnp.argsort(nn_pallas._morton_keys(src), stable=True)
         idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
-            src[order], tgt, tgt_mask)
+            src[order], index)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
         idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
@@ -122,9 +108,9 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
     return best_i, best_d
 
 
-@partial(jax.jit, static_argnames=())
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
-                             tgt_mask: jnp.ndarray, active: jnp.ndarray
+                             tgt_mask: jnp.ndarray, active: jnp.ndarray,
+                             index=None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN (+ lower bound) for only the ``active`` subset of source rows; cost
     scales with the subset size (the incremental-ICP hot path,
@@ -148,11 +134,13 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                 jnp.where(active, d2, jnp.inf),
                 jnp.where(active, lo, jnp.inf))
 
-    key = _morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
+    if index is None:
+        index = nn_pallas.build_target_index(tgt, tgt_mask)
+    key = nn_pallas._morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
     order = jnp.argsort(key, stable=True)
     n_active = jnp.sum(active.astype(jnp.int32))
     idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
-        src[order], tgt, tgt_mask, n_active)
+        src[order], index, n_active)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
     diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]

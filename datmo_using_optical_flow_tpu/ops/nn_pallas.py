@@ -1,33 +1,38 @@
-"""Pallas fused brute-force 1-NN: the GMFA hot kernel at reference load.
+"""Pallas fused brute-force 1-NN with spatial tile pruning: the GMFA hot kernel.
 
-Replaces the XLA scan in :mod:`datmo_using_optical_flow_tpu.ops.nn` for the
-reference-scale problem (~10^5 x 10^5 after x10 densification,
-``Optical_flow/main.py:87``; consumed by ICP correspondences ``GMFA.py:297-309``
-and NN residual alignment ``GMFA.py:84-91,109-119``).  The XLA formulation
-materializes each (N, 512) distance tile to HBM — ~42 GB of traffic for the
-full problem (~520 ms measured); here the whole padded target cloud (~3 MB as
-(M, 8) f32) sits in VMEM, each source block runs K=8 matmuls on the MXU and a
-running (min, argmin) reduction entirely on-chip, and only the (N,) results
-are written.  Measured ~28 ms for 102400^2 — ~20x faster, bit-identical
-indices (first-minimum tie-breaking preserved: targets are never reordered).
+Replaces the reference's per-point Python KDTree loops (``GMFA/GMFA.py:84-91``,
+:109-119) at reference load (~10^5 x 10^5 points after x10 densification).
+The whole padded target cloud sits in VMEM as (m_tiles, 8, 512) f32; each
+source block runs matmul sweeps on the MXU with a running (min, argmin)
+reduction, writing only (N,) results.
 
-Precision: the expansion ``|s|^2 + |t|^2 - 2 s.t`` at ROI-scale coordinates
-(|p| ~ 30 m -> |p|^2 ~ 900) carries ~1e-4 absolute noise on d2 — as large as
-GMFA's 0.02^2 ICP correspondence gate.  The caller therefore recenters each
-SOURCE block on a representative point ``c`` (sources may be reordered freely
-— each row's reduction is independent), and the kernel computes
-``|s-c|^2 + |t-c|^2 - 2 (s-c).(t-c)`` with ``|t-c|^2`` by direct subtraction:
-for the candidates that can win (near the query), every term is O((d+r)^2)
-with r the block radius, so the near-candidate d2 error drops to ~alpha*(d+r)^2
-with alpha ~ 1e-5.  The kernel also returns a SOUND lower bound on the true
-min d2 (min over candidates of ``d2_cand - alpha*(sn' + tn'_cand)``, one extra
-fused VPU pass on an MXU-bound kernel) — the incremental-ICP exclusion shell
-(ops/icp.py) is built on it.
+Two structural ideas make it fast AND precise:
+
+* **Spatial pruning** (the KD-tree's job, reformulated fixed-shape): sources
+  AND targets are Morton-sorted, so source blocks and target tiles are both
+  spatially compact.  A precomputed (n_blocks, m_tiles) bounding-ball bound
+  ``lb2[b, j] <= min dist^2 between any point of block b and tile j`` lets the
+  kernel skip every tile that provably cannot beat the block's current worst
+  row (tiles are visited nearest-first, so the skip threshold tightens after
+  the first few tiles).  Tie-breaking stays EXACT: candidates carry their
+  original indices, and d2 values are independent of tile membership, so
+  "lowest original index among minima" is preserved bit-for-bit.
+
+* **Block recentering**: the expansion ``|s|^2+|t|^2-2s.t`` at ROI-scale
+  coordinates (|p| ~ 30 m) carries ~1e-4 absolute d2 noise — as large as
+  GMFA's 0.02^2 ICP gate.  Every block recenters sources and targets on a
+  block-representative point ``c`` with ``|t-c|^2`` by direct subtraction, so
+  near-candidate d2 error drops to ~alpha*(d+r)^2, alpha ~ 1e-5.  The kernel
+  also emits a SOUND per-row lower bound on the true min d2 (min of
+  ``d2_cand - alpha*tn_cand`` over candidates seen; skipped tiles lie above
+  ``lb2`` >= the row's running best, so the bound covers them) — the
+  incremental-ICP exclusion shell (ops/icp.py) is built on it.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SRC_BLOCK = 1024
-_TGT_TILE = 512
+_SRC_BLOCK = 256
+_TGT_TILE = 256
 # beyond this many padded target points the (M, 8) cloud no longer fits VMEM
 # comfortably; callers fall back to the tiled-scan XLA path
 MAX_TARGET = 1 << 18
@@ -45,19 +50,100 @@ MAX_TARGET = 1 << 18
 # 8-term dot + norm sums + final combine accumulate <= ~10 ulps on operands
 # bounded by (sn' + tn'_cand); 2^-23 * 10 * safety 4 ~ 5e-6 -> use 1e-5.
 ALPHA = np.float32(1e-5)
+# absolute slack (meters) subtracted from the geometric tile bound to cover
+# its own f32 rounding
+_LB_PAD = np.float32(1e-3)
+_BIG_I = np.int32(2 ** 30)
 
 
-def _kernel(na_ref, tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
-            di_ref, dd_ref, dl_ref, *, m_tiles: int):
+class TargetIndex(NamedTuple):
+    """Morton-sorted, VMEM-layout target structure (build once, query often —
+    ICP re-queries the same target every iteration)."""
+    packed: jnp.ndarray      # (m_tiles, 8, T) sorted recenterable coords
+    tn: jnp.ndarray          # (m_tiles, 1, T) |t|^2, +inf where invalid
+    tidx: jnp.ndarray        # (m_tiles, 1, T) int32 ORIGINAL indices
+    tile_cent: jnp.ndarray   # (m_tiles, 3) tile bounding-box centers
+    tile_rad: jnp.ndarray    # (m_tiles,) tile bounding radii (inf if empty)
+
+
+def _morton_keys(p: jnp.ndarray) -> jnp.ndarray:
+    """int32 Morton (Z-order) codes of (N, 3) points, 10 bits/dim over the
+    data's bounding box.  Only a spatial sort key — rounding is harmless."""
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    # one shared scale (cubic cells): per-dim normalization would stretch the
+    # thin z extent of ground-plane clouds across the full key range and
+    # destroy physical locality
+    scale = 1023.0 / jnp.maximum(jnp.max(hi - lo), 1e-12)
+    q = jnp.clip((p - lo) * scale, 0.0, 1023.0).astype(jnp.int32)  # (N, 3)
+    key = jnp.zeros(p.shape[:1], jnp.int32)
+    for bit in range(10):
+        for d in range(3):
+            key = key | (((q[:, d] >> bit) & 1) << (3 * bit + d))
+    return key
+
+
+def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray) -> TargetIndex:
+    """Morton-sort targets (invalid rows last) and precompute the VMEM layout
+    plus per-tile bounding balls."""
+    m = tgt.shape[0]
+    mp = -(-m // _TGT_TILE) * _TGT_TILE
+    tgtf = jnp.where(tgt_mask[:, None], tgt.astype(jnp.float32), 0.0)
+    key = _morton_keys(jnp.where(tgt_mask[:, None], tgtf, 0.0))
+    key = jnp.where(tgt_mask, key, _BIG_I)  # invalid rows sort last
+    order = jnp.argsort(key, stable=True)
+    tgt_s = tgtf[order]
+    mask_s = tgt_mask[order]
+    tidx = order.astype(jnp.int32)
+
+    tgt_p = jnp.pad(tgt_s, ((0, mp - m), (0, 5)))
+    mask_p = jnp.pad(mask_s, ((0, mp - m),))
+    tidx_p = jnp.pad(tidx, ((0, mp - m),))
+    tn = jnp.sum(tgt_p * tgt_p, axis=1)
+    tn = jnp.where(mask_p, tn, jnp.inf)
+
+    m_tiles = mp // _TGT_TILE
+    pts = tgt_p[:, :3].reshape(m_tiles, _TGT_TILE, 3)
+    mtile = mask_p.reshape(m_tiles, _TGT_TILE)
+    lo = jnp.min(jnp.where(mtile[:, :, None], pts, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(mtile[:, :, None], pts, -jnp.inf), axis=1)
+    has = jnp.any(mtile, axis=1)
+    cent = jnp.where(has[:, None], (lo + hi) * 0.5, 0.0)
+    rad = jnp.where(
+        has,
+        jnp.max(jnp.linalg.norm(
+            jnp.where(mtile[:, :, None], pts - cent[:, None, :], 0.0),
+            axis=2), axis=1),
+        -jnp.inf)  # empty tile: lb = +inf below -> always skipped
+
+    return TargetIndex(
+        packed=tgt_p.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
+        tn=tn.reshape(m_tiles, 1, _TGT_TILE),
+        tidx=tidx_p.reshape(m_tiles, 1, _TGT_TILE),
+        tile_cent=cent, tile_rad=rad)
+
+
+def _kernel(na_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
+            cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
+            bd, bi, bl, bmax, lb_s, to_s, sems, *, m_tiles: int):
+    t = pl.program_id(0)
+
     # blocks whose every source row is inactive (row index >= na_ref[0]) skip
     # the target sweep entirely: the per-iteration cost of the incremental-ICP
     # path (ops/icp.py) scales with the number of re-queried points, not N
-    t = pl.program_id(0)
-
     @pl.when(t * _SRC_BLOCK < na_ref[0])
     def _():
-        _kernel_body(tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
-                     di_ref, dd_ref, dl_ref, m_tiles=m_tiles)
+        # the (n_blocks, m_tiles) pruning tables live in HBM (too large for
+        # SMEM whole); each block DMAs its own row into scalar memory
+        c1 = pltpu.make_async_copy(lb_hbm.at[t], lb_s, sems.at[0])
+        c2 = pltpu.make_async_copy(to_hbm.at[t], to_s, sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+        _kernel_body(t, lb_s, to_s, tgt_ref, tn_ref, tidx_ref, src_ref,
+                     cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
+                     bd, bi, bl, bmax, m_tiles=m_tiles)
 
     @pl.when(t * _SRC_BLOCK >= na_ref[0])
     def _():
@@ -66,97 +152,124 @@ def _kernel(na_ref, tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
         dl_ref[...] = jnp.full_like(dl_ref, jnp.inf)
 
 
-def _kernel_body(tgt_ref, tn_ref, src_ref, cent_row_ref, cent_col_ref,
-                 di_ref, dd_ref, dl_ref, *, m_tiles: int):
+def _kernel_body(t, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
+                 cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
+                 bd, bi, bl, bmax, *, m_tiles: int):
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
     cent_row = cent_row_ref[0][0:1, :]      # (1, 8) block representative
     cent_col = cent_col_ref[0][:, 0:1]      # (8, 1) same, coords on sublanes
     sp = src_ref[...] - cent_row            # (B, 8) recentered sources
-    b = sp.shape[0]
     sn = jnp.sum(sp * sp, axis=1, keepdims=True)            # (B, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, _TGT_TILE), 1)
 
-    def tile_step(j, carry):
-        best_d, best_i, best_lo = carry     # (B, 1) each
-        tile = tgt_ref[j]                   # (8, T): lane dim = points
-        tn_raw = tn_ref[j]                  # (1, T) +inf where invalid/padding
-        tp = tile - cent_col                # (8, T) recentered targets
-        tpn = jnp.sum(tp * tp, axis=0, keepdims=True)       # (1, T) exact-ish
-        tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
-        cross = jax.lax.dot_general(sp, tp,
-                                    dimension_numbers=(((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        # sn is constant per row: leave it out of the (B, T) pass (it shifts
-        # every candidate equally, so the argmin is unchanged) and add it back
-        # after the reductions — one fewer full-tile VPU pass
-        d2 = tn - 2.0 * cross               # (B, T)
-        td = jnp.min(d2, axis=1, keepdims=True)
-        # first-minimum index (== argmin tie-breaking)
-        ti = jnp.min(jnp.where(d2 == td, col, jnp.int32(2**30)),
-                     axis=1, keepdims=True) + j * _TGT_TILE
-        take = td < best_d                  # strict: earlier tile wins ties
-        # sound per-candidate lower bound: subtract alpha*tpn here (tpn, not
-        # tn: inf - inf*alpha would be NaN on invalid columns) and alpha*sn
-        # after the loop
-        tl = jnp.min(d2 - ALPHA * tpn, axis=1, keepdims=True)
-        return (jnp.where(take, td, best_d), jnp.where(take, ti, best_i),
-                jnp.minimum(best_lo, tl))
+    bd[...] = jnp.full_like(bd, jnp.inf)    # running min of (d2 - sn)
+    bi[...] = jnp.full_like(bi, _BIG_I)
+    bl[...] = jnp.full_like(bl, jnp.inf)
+    bmax[0, 0] = jnp.float32(jnp.inf)       # max over rows of absolute best d2
 
-    best_d = jnp.full((b, 1), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((b, 1), jnp.int32)
-    best_lo = jnp.full((b, 1), jnp.inf, jnp.float32)
-    best_d, best_i, best_lo = jax.lax.fori_loop(0, m_tiles, tile_step,
-                                                (best_d, best_i, best_lo))
-    di_ref[...] = best_i
-    dd_ref[...] = jnp.maximum(best_d + sn, 0.0)
-    dl_ref[...] = jnp.maximum(best_lo + (1.0 - ALPHA) * sn - ALPHA, 0.0)
+    def tile_step(j, _):
+        jt = j0_ref[0, j]                   # tiles in ascending-lb order
+
+        # bounding-ball skip: no point of this tile can beat the block's
+        # current worst row.  lb_ref is sorted ascending, so once this
+        # fails it fails for every later j — the loop degenerates to a
+        # scalar test per remaining tile
+        @pl.when(lb_ref[0, j] <= bmax[0, 0])
+        def _():
+            tile = tgt_ref[jt]              # (8, T): lane dim = points
+            tn_raw = tn_ref[jt]             # (1, T) +inf where invalid
+            tidx = tidx_ref[jt]             # (1, T) original indices
+            tp = tile - cent_col            # (8, T) recentered targets
+            tpn = jnp.sum(tp * tp, axis=0, keepdims=True)   # (1, T) exact-ish
+            tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
+            cross = jax.lax.dot_general(
+                sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # sn is constant per row: left out of the (B, T) pass (it shifts
+            # every candidate equally, so the argmin is unchanged), added back
+            # after the reductions
+            d2 = tn - 2.0 * cross           # (B, T)
+            td = jnp.min(d2, axis=1, keepdims=True)
+            # lowest ORIGINAL index among the minima (== first-min over the
+            # unsorted target order: d2 values do not depend on tile
+            # membership, so sorting cannot change which candidates tie)
+            ti = jnp.min(jnp.where(d2 == td, tidx, _BIG_I), axis=1,
+                         keepdims=True)
+            finite = td < jnp.float32(3e38)
+            take = (td < bd[...]) | ((td == bd[...]) & finite & (ti < bi[...]))
+            # sound per-candidate lower bound: subtract alpha*tpn here (tpn,
+            # not tn: inf - inf*alpha would be NaN on invalid columns);
+            # alpha*sn is folded in after the loop
+            tl = jnp.min(d2 - ALPHA * tpn, axis=1, keepdims=True)
+            bi[...] = jnp.where(take, ti, bi[...])
+            bd[...] = jnp.where(take, td, bd[...])
+            bl[...] = jnp.minimum(bl[...], tl)
+            bmax[0, 0] = jnp.max(bd[...] + sn)
+        return 0
+
+    jax.lax.fori_loop(0, m_tiles, tile_step, 0)
+    best_i = bi[...]
+    di_ref[...] = jnp.where(best_i == _BIG_I, 0, best_i)
+    dd_ref[...] = jnp.maximum(bd[...] + sn, 0.0)
+    dl_ref[...] = jnp.maximum(bl[...] + (1.0 - ALPHA) * sn - ALPHA, 0.0)
 
 
-def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
-                             tgt_mask: jnp.ndarray,
-                             n_active: jnp.ndarray | None = None,
-                             block_centers: jnp.ndarray | None = None
+def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
+                             n_active: jnp.ndarray | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """1-NN of each ``src`` row among valid ``tgt`` rows (first-min
-    tie-breaking, idx=0 / sqdist=+inf when no valid target).
+    """1-NN of each ``src`` row among the index's valid targets.
 
-    Returns ``(idx, sqdist, sqdist_lower_bound)``; the bound is sound (true
-    min d2 >= bound) and tight when sources are spatially sorted so each
-    _SRC_BLOCK is compact (see :func:`ops.nn.nearest_neighbors_with_bound`).
+    Returns ``(idx, sqdist, sqdist_lower_bound)`` — idx in ORIGINAL target
+    numbering with first-min tie-breaking; idx=0 / +inf when no valid target.
+    The bound is sound (true min d2 >= bound), tight when sources arrive
+    spatially sorted (see :func:`ops.nn.nearest_neighbors_with_bound`).
 
-    ``n_active`` (scalar int32, optional): only the first ``n_active`` source
-    rows are queried; whole source blocks past it skip the target sweep (their
-    outputs are idx=0 / +inf).  ``block_centers`` ((n_blocks, 3), optional):
-    per-block recentering points (default: each block's first row).
+    ``n_active`` (scalar int32): only the first ``n_active`` source rows are
+    queried; whole source blocks past it skip the sweep (idx=0 / +inf out).
     """
     n = src.shape[0]
-    m = tgt.shape[0]
-    mp = -(-m // _TGT_TILE) * _TGT_TILE
     np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
     n_blocks = np_ // _SRC_BLOCK
+    m_tiles = index.packed.shape[0]
     if n_active is None:
         n_active = jnp.int32(n)
 
-    srcf = jnp.pad(src.astype(jnp.float32), ((0, np_ - n), (0, 5)))
-    if block_centers is None:
-        block_centers = srcf.reshape(n_blocks, _SRC_BLOCK, 8)[:, 0, :3]
-    cent = jnp.pad(block_centers.astype(jnp.float32), ((0, 0), (0, 5)))
-    # invalid/padded targets: coords zeroed, norm +inf -> d2 = +inf
-    tgtf = jnp.where(tgt_mask[:, None], tgt.astype(jnp.float32), 0.0)
-    tgtf = jnp.pad(tgtf, ((0, mp - m), (0, 5)))
-    tn = jnp.sum(tgtf * tgtf, axis=1)
-    tn = jnp.where(jnp.pad(tgt_mask, ((0, mp - m),)), tn, jnp.inf)
-    m_tiles = mp // _TGT_TILE
+    srcf = src.astype(jnp.float32)
+    # pad rows with the last row's coords (zeros would drag block bounding
+    # balls toward the origin), feature columns with zeros
+    srcf = jnp.pad(srcf, ((0, np_ - n), (0, 0)), mode="edge")
+    srcf = jnp.pad(srcf, ((0, 0), (0, 5)))
 
-    grid = (n_blocks,)
+    blocks = srcf.reshape(n_blocks, _SRC_BLOCK, 8)[:, :, :3]
+    cent = blocks[:, 0, :]                                   # representative
+    blo = jnp.min(blocks, axis=1)
+    bhi = jnp.max(blocks, axis=1)
+    bc = (blo + bhi) * 0.5
+    br = jnp.max(jnp.linalg.norm(blocks - bc[:, None, :], axis=2), axis=1)
+
+    # (n_blocks, m_tiles) bounding-ball lower bounds on squared distance,
+    # visited in ascending order per block so bmax tightens fastest
+    d_ct = jnp.linalg.norm(bc[:, None, :] - index.tile_cent[None, :, :], axis=2)
+    lb = jnp.maximum(d_ct - br[:, None] - index.tile_rad[None, :] - _LB_PAD, 0.0)
+    lb2 = jnp.where(jnp.isfinite(index.tile_rad)[None, :], lb * lb, jnp.inf)
+    torder = jnp.argsort(lb2, axis=1).astype(jnp.int32)
+    lb2 = jnp.take_along_axis(lb2, torder, axis=1)
+    # lane-align the (n_blocks, m_tiles) tables for the per-block HBM->SMEM DMA
+    mt_pad = (-m_tiles) % 128
+    lb2 = jnp.pad(lb2, ((0, 0), (0, mt_pad)), constant_values=jnp.inf)
+    torder = jnp.pad(torder, ((0, 0), (0, mt_pad)))
+
+    centp = jnp.pad(cent, ((0, 0), (0, 5)))
     kernel = partial(_kernel, m_tiles=m_tiles)
     idx, d2, lo = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
-        grid=grid,
+        grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) n_active
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lb2 rows
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # tile order
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 8, T)
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 1, T)
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 1, T)
                   pl.BlockSpec((_SRC_BLOCK, 8), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -173,11 +286,20 @@ def nearest_neighbors_pallas(src: jnp.ndarray, tgt: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((np_, 1), jnp.int32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)),
-    )(jnp.asarray(n_active, jnp.int32).reshape(1),
-      tgtf.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
-      tn.reshape(m_tiles, 1, _TGT_TILE), srcf,
-      jnp.broadcast_to(cent[:, None, :], (n_blocks, 8, 8)),
-      jnp.broadcast_to(cent[:, :, None], (n_blocks, 8, 8)))
+        scratch_shapes=[
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # bd
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.int32),    # bi
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # bl
+            pltpu.SMEM((1, 1), jnp.float32),           # bmax
+            pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.float32),  # lb row
+            pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.int32),    # order row
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(jnp.asarray(n_active, jnp.int32).reshape(1), lb2[:, None, :],
+      torder[:, None, :],
+      index.packed, index.tn, index.tidx, srcf,
+      jnp.broadcast_to(centp[:, None, :], (n_blocks, 8, 8)),
+      jnp.broadcast_to(centp[:, :, None], (n_blocks, 8, 8)))
     return idx[:n, 0], d2[:n, 0], lo[:n, 0]
 
 
