@@ -38,6 +38,10 @@ def main() -> None:
     def batched(a, b):
         # pipelined through the device queue as one program; NOT vmapped — batched
         # gathers lower pathologically on this backend (measured 5x slower)
+        # fast_warp XLA path: stays inside the 0.1 px worst-case budget.  The
+        # Pallas fused path measures 37.8 FPS here but its different (equally
+        # valid) f32 grouping diverges from cv2's trajectory at ill-conditioned
+        # border pixels (p99 ~0, max 0.12 px) — see BENCHMARKS.md
         fn = lambda x, y: _farneback_impl(x, y, cfg.pyr_scale, cfg.levels,
                                           cfg.winsize, cfg.iterations, cfg.poly_n,
                                           cfg.poly_sigma, False, True)

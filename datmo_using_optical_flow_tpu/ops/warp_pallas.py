@@ -23,8 +23,9 @@ The full update_matrices algebra (inside mask, OpenCV border attenuation, the
 normal-equation planes M) is fused in, so one kernel reads (R0, R1-window,
 flow) and writes M — nothing else hits HBM.
 
-Displacement capability: floor(dy) in [-16, 14], floor(dx) in [-64, 62]
-(window margins).  ``update_matrices_auto`` guards with an in-graph
+Displacement capability: floor(dy) in [-YOFF, YOFF-2] = [-12, 10], floor(dx)
+in [-64, 62] (window margins; YOFF sized so realistic inter-frame motion plus
+coarse-to-fine overshoot stays on the exact fast path).  ``update_matrices_auto`` guards with an in-graph
 ``lax.cond``: out-of-range flow falls back to the packed-gather path, so
 semantics hold for any input.
 """
@@ -42,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from datmo_using_optical_flow_tpu.oracle.np_farneback import BORDER, BORDER_ATTEN
 
 S = 32            # rows per strip
-YOFF = 8          # window top margin: floor(dy) in [-YOFF, YOFF-2]
+YOFF = 12         # window top margin: floor(dy) in [-YOFF, YOFF-2]
 XOFF = 64         # window left margin: floor(dx) in [-XOFF, XOFF-2]
 WH = S + 2 * YOFF  # window rows (8-aligned)
 # clip bounds for the shift loops (geometric capability of the window)
