@@ -136,9 +136,8 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
     return transform, it, eval_state, observables, cache0
 
 
-# source clouds at or above this size default to the coarse-to-fine schedule
-_COARSE_MIN = 1 << 15
-_COARSE_STRIDE = 4
+# targets at or above this size default to incremental correspondence search
+_CACHED_MIN = 1 << 15
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "cached", "coarse_stride"))
@@ -176,7 +175,7 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     smask = source_mask
     thr2 = jnp.float32(threshold * threshold)
     if cached is None:
-        cached = target.shape[0] >= _COARSE_MIN
+        cached = target.shape[0] >= _CACHED_MIN
     if coarse_stride is None:
         coarse_stride = 1
 

@@ -2,9 +2,9 @@
 
 Replaces the reference's per-point Python KDTree loops (``GMFA/GMFA.py:84-91``,
 :109-119) at reference load (~10^5 x 10^5 points after x10 densification).
-The whole padded target cloud sits in VMEM as (m_tiles, 8, 512) f32; each
-source block runs matmul sweeps on the MXU with a running (min, argmin)
-reduction, writing only (N,) results.
+The whole padded target cloud sits in VMEM as (m_tiles, 8, _TGT_TILE) f32;
+each _SRC_BLOCK-row source block runs matmul sweeps on the MXU with a running
+(min, argmin) reduction, writing only (N,) results.
 
 Two structural ideas make it fast AND precise:
 

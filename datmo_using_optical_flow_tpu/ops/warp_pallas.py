@@ -10,7 +10,7 @@ fields are piecewise smooth: the bilinear warp
     r[c, i, j] = bilinear(R1[c], i + dy[i,j], j + dx[i,j])
 
 decomposes into integer shifts ``(a, b) = (floor dy, floor dx)`` whose distinct
-values per row-strip are few.  Per 32-row strip, the kernel DMAs an R1 window
+values per row-strip are few.  Per row-strip, the kernel DMAs an R1 window
 into VMEM, loops ``a`` over the strip's actual floor(dy) range (row-roll, a
 proven-fast dynamic op on this backend — dynamic ``pl.ds`` offsets do not
 compile), and for each ``a`` loops ``b`` over the masked floor(dx) range
