@@ -23,8 +23,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from datmo_using_optical_flow_tpu.ops.nn import (nearest_neighbors,
-                                                 nearest_neighbors_active)
+from datmo_using_optical_flow_tpu.ops.nn import (
+    nearest_neighbors, nearest_neighbors_active,
+    nearest_neighbors_active_presorted)
 
 
 class IcpResult(NamedTuple):
@@ -88,8 +89,13 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         lo_new = jnp.sqrt(lo_old) - delta
         excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
         need = smask & ~excluded
-        idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need,
-                                                    index=tgt_index)
+        if tgt_index is not None:
+            # the caller permuted the source by Morton rank once; only a
+            # cumsum partition is needed per iteration
+            idx_new, _, lo_q = nearest_neighbors_active_presorted(
+                pts, tgtf, tmask, need, tgt_index)
+        else:
+            idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need)
         idx = jnp.where(need, idx_new, idx_old)
         # exact d2 at the winner (direct subtraction; see eval_full)
         diff = pts - tgtf[idx]
@@ -185,6 +191,13 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
         if nn_pallas.eligible(target.shape[0]):
             # built once; every incremental re-query reuses it
             tgt_index = nn_pallas.build_target_index(tgtf, target_mask)
+            # run the whole loop in Morton-permuted source space: fitness,
+            # rmse, and Kabsch are permutation-invariant reductions, and
+            # per-iteration re-queries then need only a cumsum partition
+            # instead of an argsort
+            morder = jnp.argsort(nn_pallas._morton_keys(srcf), stable=True)
+            srcf = srcf[morder]
+            smask = smask[morder]
 
     t0 = jnp.eye(4)
     it_c = jnp.asarray(0)

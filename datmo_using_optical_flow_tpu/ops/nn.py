@@ -151,6 +151,36 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
             jnp.where(active, lo, jnp.inf))
 
 
+def nearest_neighbors_active_presorted(src: jnp.ndarray, tgt: jnp.ndarray,
+                                       tgt_mask: jnp.ndarray,
+                                       active: jnp.ndarray, index
+                                       ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                  jnp.ndarray]:
+    """:func:`nearest_neighbors_active` for sources that are ALREADY spatially
+    ordered (incremental ICP permutes its cloud by Morton rank once, outside
+    the while_loop).  Per call this only stable-partitions active rows to the
+    front — a cumsum instead of an argsort (~2 ms cheaper per ICP iteration at
+    102k points) — which preserves the spatial coherence of both sides."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    n = src.shape[0]
+    a = active.astype(jnp.int32)
+    n_active = jnp.sum(a)
+    pos_a = jnp.cumsum(a) - 1
+    pos_i = n_active + jnp.cumsum(1 - a) - 1
+    dest = jnp.where(active, pos_a, pos_i)   # original row -> compact slot
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
+    idx_c, d2_c, lo_c = nn_pallas.nearest_neighbors_pallas(src[perm], index,
+                                                           n_active)
+    idx, d2, lo = idx_c[dest], d2_c[dest], lo_c[dest]  # gather-back
+    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+    exact = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
+    lo = jnp.minimum(lo, d2)
+    return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
+            jnp.where(active, lo, jnp.inf))
+
+
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,
                      ref_mask: jnp.ndarray) -> jnp.ndarray:
     """Replace each point by its nearest valid reference point
