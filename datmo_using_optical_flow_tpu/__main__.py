@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     pb = sub.add_parser("run-b", help="GMFA pipeline")
     pb.add_argument("input", help="PCD folder or YAML config")
     pb.add_argument("-o", "--output", default="track_data.xlsx")
+    pb.add_argument("--plot-dir", default=None,
+                    help="save the reference's per-frame plots here "
+                         "(GMFA.py:525-527; non-blocking PNGs)")
 
     ps = sub.add_parser("simulate", help="CARLA capture harness")
     ps.add_argument("--host", default="127.0.0.1")
@@ -83,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
             print("No PCD files found in the folder.")
             return 1
         summary = GMFAPipeline(cfg).process_files(files, output_xlsx=args.output,
+                                                  plot_dir=args.plot_dir,
                                                   progress=True)
         print(f"{len(summary['rows'])} track-log rows")
         return 0

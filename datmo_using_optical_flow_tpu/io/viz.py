@@ -132,6 +132,35 @@ def visualize_positions_and_velocities(points, classifications, track_states,
     _finish(plt, fig, save_path, show)
 
 
+def visualize_final_positions_and_velocities(points, track_states,
+                                             title: str = "Moving Object Detection",
+                                             save_path: str | None = None,
+                                             show: bool = False) -> None:
+    """Point cloud (gray) with final track positions overlaid (``GMFA.py:337-366``).
+
+    Behavioral note: despite its name and docstring, the reference function
+    never draws the velocity quiver — it sets a ``velocity_vector_plotted``
+    flag that nothing reads and only scatters the position of each track
+    (``GMFA.py:349-360``).  Replicated behavior-for-behavior: gray cloud +
+    blue 'Target Vehicle' positions, one legend entry.
+    """
+    plt = _plt()
+    points = np.asarray(points)
+    fig = plt.figure(figsize=(10, 10))
+    if len(points):
+        plt.scatter(points[:, 0], points[:, 1], c="gray", s=1, label="Point Cloud")
+    for k, s in enumerate(track_states):
+        s = np.asarray(s).flatten()
+        plt.scatter(s[0], s[1], color="blue", alpha=0.8, s=50,
+                    label="Target Vehicle" if k == 0 else None)
+    plt.title(title)
+    plt.xlabel("X Coordinate")
+    plt.ylabel("Y Coordinate")
+    plt.legend()
+    plt.grid(True)
+    _finish(plt, fig, save_path, show)
+
+
 def plot_filtered_cloud(points, classifications, save_path: str | None = None,
                         show: bool = False) -> None:
     """Static/moving scatter (``GMFA.py:386-406``)."""

@@ -206,7 +206,8 @@ class GMFAPipeline:
     @staticmethod
     def _save_frame_plots(plot_dir: str, frame: int, carry: GmfaCarry,
                           out: GmfaOutputs) -> None:
-        """The three per-frame plots of GMFA.py:526-528, saved non-blocking."""
+        """The per-frame plots of GMFA.py:525-527 (SOM heat map, moving-vs-static,
+        positions+velocities, final moving-object detection), saved non-blocking."""
         import os
 
         from datmo_using_optical_flow_tpu.io import viz
@@ -226,6 +227,9 @@ class GMFAPipeline:
         viz.visualize_positions_and_velocities(
             pts, cls, states,
             save_path=os.path.join(plot_dir, f"positions_frame_{frame}.png"))
+        viz.visualize_final_positions_and_velocities(
+            pts, states, title=f"Frame {frame}: Moving Object Detection",
+            save_path=os.path.join(plot_dir, f"final_positions_frame_{frame}.png"))
 
 
 def save_tracks_to_excel(rows: list[dict], output_file: str = "track_data.xlsx") -> None:

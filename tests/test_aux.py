@@ -129,7 +129,12 @@ def test_viz_saves_files(tmp_path):
     viz.visualize_filtered_clusters(labels, idx, np.ones(4), np.ones(4),
                                     (-20, 20), (-20, 20), 0.2, 0.2,
                                     save_path=str(tmp_path / "c.png"))
-    for name in ("t.png", "m.png", "s.png", "v.png", "c.png"):
+    viz.visualize_final_positions_and_velocities(
+        pts, [np.array([0, 0, 1, 1]), np.array([2, 2, -1, 0])],
+        save_path=str(tmp_path / "f.png"))
+    viz.visualize_final_positions_and_velocities(  # empty cloud / no tracks
+        np.zeros((0, 3)), [], save_path=str(tmp_path / "f0.png"))
+    for name in ("t.png", "m.png", "s.png", "v.png", "c.png", "f.png", "f0.png"):
         assert os.path.exists(tmp_path / name)
 
 
