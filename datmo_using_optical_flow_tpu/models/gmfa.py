@@ -197,6 +197,37 @@ class GMFAPipeline:
         return {"rows": rows, "som": np.asarray(carry.som), "carry": carry,
                 "elapsed": time.perf_counter() - t_start}
 
+    def scan_steps(self, points: jnp.ndarray, masks: jnp.ndarray,
+                   carry: GmfaCarry, seed: int = 0
+                   ) -> tuple[GmfaCarry, GmfaOutputs]:
+        """Process a whole clip of preprocessed (expanded) clouds with O(1)
+        carried state (SURVEY.md §5.7's temporal axis, for pipeline B):
+        ``lax.scan`` of the full 11-stage GMFA step over the (T, P, 3) stack in
+        ONE device program.  Frame 0 primes the previous cloud (as
+        ``process_files`` does); returns the final carry and T-1 stacked
+        per-frame outputs.  Per-frame keys are index-derived from ``seed``
+        exactly like ``process_files``, so the two forms agree bit-for-bit on
+        track ids too (parity pinned by tests/test_gmfa_pipeline.py).
+        """
+        cfg, max_moving = self.cfg, self.max_moving
+        carry = carry._replace(prev_points=points[0], prev_mask=masks[0])
+        base = jax.random.PRNGKey(seed)
+        keys = jax.vmap(
+            lambda i: jax.random.split(jax.random.fold_in(base, i))[1]
+        )(jnp.arange(1, points.shape[0]))
+
+        @jax.jit
+        def run(c, pts, mks, ks):
+            def body(cc, xs):
+                p, m, k = xs
+                cc, out = _gmfa_step_impl(p, m, cc, k, cfg=cfg,
+                                          max_moving=max_moving)
+                return cc, out
+
+            return jax.lax.scan(body, c, (pts, mks, ks))
+
+        return run(carry, points[1:], masks[1:], keys)
+
     @staticmethod
     def _maybe_checkpoint(carry: GmfaCarry, frame: int, every: int,
                           path: str | None, save_fn) -> None:

@@ -5,6 +5,13 @@ sustained per-stream DATMO): streams are embarrassingly parallel, so the full
 pipeline-A frame-pair step runs under ``shard_map`` with every array sharded on
 the leading stream axis; the only cross-stream communication is a ``psum`` of
 monitoring metrics (exercising ICI without touching the hot path).
+
+Both flagship drivers get the treatment: :func:`make_multi_stream_step` wraps
+the pipeline-A frame-pair step (``Optical_flow/main.py:541``) and
+:func:`make_multi_stream_gmfa_step` the full 11-stage GMFA frame step
+(``GMFA/GMFA.py:424-536``: ICP -> residual classification -> DBSCAN ->
+Hungarian -> track update -> SOM -> KF), each stream carrying its own
+:class:`GmfaCarry` (previous expanded cloud, track table, SOM).
 """
 
 from __future__ import annotations
@@ -71,5 +78,56 @@ def make_multi_stream_step(cfg: PipelineAConfig, mesh: Mesh, fast_warp: bool = T
                              snapshot=tracker_a.TrackTable(*([spec] * 6))),
                  {"total_tracks": P(), "total_cells": P()})
     fn = shard_map(per_stream, mesh=mesh, in_specs=(spec, spec, carry_specs),
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def init_gmfa_stream_carry(cfg, n_streams: int):
+    """Per-stream :class:`GmfaCarry` pytree with a leading stream axis."""
+    from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
+
+    carry = GMFAPipeline(cfg).init_carry()
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), carry)
+
+
+def make_multi_stream_gmfa_step(cfg, mesh: Mesh, max_moving: int = 8192):
+    """Build the jitted stream-parallel GMFA step:
+    ``(points, mask, carry, keys) -> (carry, outputs, metrics)``.
+
+    ``points``: (n_streams, P, 3) preprocessed (expanded) clouds, ``mask``
+    (n_streams, P), ``keys`` (n_streams,) PRNG keys (uint32 key data) — all
+    sharded on 'stream'; ``carry`` from :func:`init_gmfa_stream_carry`.
+    Metrics (total live tracks / moving points across streams) are psum'd
+    over ICI; everything else is per-stream local, exactly the single-stream
+    :func:`models.gmfa._gmfa_step_impl` per shard (parity pinned by
+    tests/test_parallel.py).
+    """
+    from datmo_using_optical_flow_tpu.models.gmfa import (GmfaCarry, GmfaOutputs,
+                                                          TrackTableB,
+                                                          _gmfa_step_impl)
+
+    def per_stream(points, mask, carry, keys):
+        def one(p, m, c, k):
+            return _gmfa_step_impl(p, m, c, k, cfg=cfg, max_moving=max_moving)
+
+        new_carry, outs = jax.vmap(one)(points, mask, carry, keys)
+        local_tracks = jnp.sum(new_carry.table.alive.astype(jnp.int32))
+        local_moving = jnp.sum(outs.moving_count)
+        metrics = {
+            "total_tracks": jax.lax.psum(local_tracks, "stream"),
+            "total_moving": jax.lax.psum(local_moving, "stream"),
+        }
+        return new_carry, outs, metrics
+
+    spec = P("stream")
+    carry_specs = GmfaCarry(prev_points=spec, prev_mask=spec,
+                            table=TrackTableB(*([spec] * 6)),
+                            som=spec, prev_centroids=spec, prev_exists=spec)
+    out_specs = (carry_specs,
+                 GmfaOutputs(*([spec] * len(GmfaOutputs._fields))),
+                 {"total_tracks": P(), "total_moving": P()})
+    fn = shard_map(per_stream, mesh=mesh,
+                   in_specs=(spec, spec, carry_specs, spec),
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn)

