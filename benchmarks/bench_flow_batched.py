@@ -37,14 +37,14 @@ def main() -> None:
     @jax.jit
     def batched(a, b):
         # pipelined through the device queue as one program; NOT vmapped — batched
-        # gathers lower pathologically on this backend (measured 5x slower)
-        # fast_warp XLA path: stays inside the 0.1 px worst-case budget.  The
-        # Pallas fused path measures 37.8 FPS here but its different (equally
-        # valid) f32 grouping diverges from cv2's trajectory at ill-conditioned
-        # border pixels (p99 ~0, max 0.12 px) — see BENCHMARKS.md
+        # gathers lower pathologically on this backend (measured 5x slower).
+        # Pallas fused path: since the warp adopted cv2's absolute-position
+        # weight arithmetic (floor(j+dx), not floor(dx)) and the fused blur the
+        # exact ascending-tap order, worst-case EPE on these scenes is 0.018 px
+        # (was 0.12 — amplified f32 grouping noise at attenuated border pixels)
         fn = lambda x, y: _farneback_impl(x, y, cfg.pyr_scale, cfg.levels,
                                           cfg.winsize, cfg.iterations, cfg.poly_n,
-                                          cfg.poly_sigma, False, True)
+                                          cfg.poly_sigma, True, False)
         return jnp.stack([fn(a[i], b[i]) for i in range(a.shape[0])])
 
     t0 = time.time()

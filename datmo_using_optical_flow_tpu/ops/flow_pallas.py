@@ -136,33 +136,8 @@ FS = 24   # fused-kernel strip rows (multiple of 8)
 _TAIL = 8  # retained rows of the t-2 strip (>= winsize//2, 8-aligned)
 
 
-def _window_sum(v, n_out: int, axis: int, winsize: int) -> jnp.ndarray:
-    """Sliding-window sum of ``winsize`` consecutive elements along ``axis``
-    (output positions 0..n_out-1) via a log-tree of shifted partial sums:
-    ~2*log2(winsize) adds instead of winsize-1 per output.  Binary-decomposes
-    the window (15 = 8+4+2+1), so the f32 grouping differs from a sequential
-    tap loop by ~winsize*eps relative — far inside the flow parity budget."""
-    levels = []
-    cur, width = v, 1
-    while True:
-        levels.append((cur, width))
-        if width * 2 > winsize:
-            break
-        n = cur.shape[axis]
-        cur = (jax.lax.slice_in_dim(cur, 0, n - width, axis=axis)
-               + jax.lax.slice_in_dim(cur, width, n, axis=axis))
-        width *= 2
-    out, off = None, 0
-    for arr, wd in reversed(levels):
-        if wd <= winsize - (off):
-            piece = jax.lax.slice_in_dim(arr, off, off + n_out, axis=axis)
-            out = piece if out is None else out + piece
-            off += wd
-    return out
-
-
 def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
-                  tail, mcur, mtmp, win, rowbuf, vacc, mbb, sem, *,
+                  tail, mcur, mtmp, win, rowbuf, vcat, vacc, hcat, mbb, sem, *,
                   h: int, w: int, wp: int, ww: int, taps: tuple[float, ...],
                   scale: float, n_strips: int):
     from datmo_using_optical_flow_tpu.ops import warp_pallas
@@ -171,19 +146,57 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     s = FS
     r = len(taps) // 2
     wh = s + 2 * warp_pallas.YOFF
+    assert wh % s == 0, "ring window requires 2*YOFF to be a multiple of FS"
     hv = h - (n_strips - 1) * s  # valid rows in the last strip (static)
 
+    # ---- R1 window ring (VERDICT r3 item 1: halve the window's HBM traffic) --
+    # ``win`` is a wh-row ring: padded R1 row j lives at ring row j % wh, so
+    # strip t's window (rows [t*s, t*s+wh)) starts at ring phase (t*s) % wh and
+    # only the s NEW rows [(t+1)*s, (t+2)*s) are DMA'd per step — the old
+    # full-window copy re-read every row wh/s times (2x at FS=24/YOFF=12).
+    # The copy for strip t+1 starts at the END of step t (after strip t's warp
+    # has consumed the rows it overwrites) and is waited at the top of step
+    # t+1, so the transfer rides under the blur/solve compute.
+    def new_rows_copy(dst_slot: int):
+        # rows [(t+1)*s, (t+2)*s) -> ring rows [dst_slot*s, (dst_slot+1)*s);
+        # constructed identically at start (for .wait) and prior end (.start)
+        return pltpu.make_async_copy(
+            r1_hbm.at[:, pl.ds((t + 1) * s, s), :],
+            win.at[:, dst_slot * s:(dst_slot + 1) * s, :], sem)
+
+    n_slots = wh // s
+
+    @pl.when(t == 0)
+    def _():
+        prime = pltpu.make_async_copy(r1_hbm.at[:, pl.ds(0, wh), :], win, sem)
+        prime.start()
+        prime.wait()
+
+    @pl.when((t >= 1) & (t < n_strips))
+    def _():
+        for slot in range(n_slots):  # rows [(t+1)*s, ...) live at slot (t+1)%n
+            @pl.when((t + 1) % n_slots == slot)
+            def _():
+                new_rows_copy(slot).wait()
+
     # ---- warp strip t into mtmp (skipped on the final drain step) ----
-    # (single-buffered window DMA: the kernel is VPU-bound, double-buffered
-    # prefetch measured no faster)
     @pl.when(t < n_strips)
     def _():
-        copy = pltpu.make_async_copy(
-            r1_hbm.at[:, pl.ds(jnp.minimum(t, n_strips - 1) * s, wh), :], win,
-            sem)
-        copy.start()
-        warp_pallas._warp_into(mtmp, win, r0_ref, dx_ref, dy_ref, copy,
-                               h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf)
+        phase = (t % n_slots) * s
+        warp_pallas._warp_into(mtmp, win, r0_ref, dx_ref, dy_ref, None,
+                               h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf,
+                               phase=phase)
+
+    # ---- prefetch strip t+1's new rows (they overwrite strip t's oldest) ----
+    @pl.when(t < n_strips - 1)
+    def _():
+        for slot in range(n_slots):  # rows [(t+2)*s, ...) -> slot (t+2)%n
+            @pl.when((t + 2) % n_slots == slot)
+            def _():
+                c = pltpu.make_async_copy(
+                    r1_hbm.at[:, pl.ds((t + 2) * s, s), :],
+                    win.at[:, slot * s:(slot + 1) * s, :], sem)
+                c.start()
 
     # ---- blur + solve strip t-1 from (tail, mcur, mtmp) ----
     @pl.when(t >= 1)
@@ -219,51 +232,34 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
         # per channel: vertical pass (output row i aggregates logical rows
         # i-r..i+r of strip t-1: rows [-r, 0) live in tail[-r:], [0, s) in
         # mcur, [s, s+r) in mtmp[:r]), then the horizontal pass with
-        # edge-replicated columns.  The box window (uniform taps) uses the
-        # log-tree :func:`_window_sum` (~2x fewer VPU adds); Gaussian taps
-        # accumulate in ascending order like blur_solve.  Both passes land in
-        # scratch refs (vacc/mbb): long value chains made Mosaic's scoped-VMEM
-        # stack exceed the 16 MB limit.
-        box = all(wgt == 1.0 for wgt in taps)
+        # edge-replicated columns.  Taps accumulate in ascending order for BOTH
+        # box and Gaussian windows — the exact f32 grouping of the XLA path's
+        # box_blur5/gauss_blur5 (ops/farneback.py:304-319).  A log-tree window
+        # sum was ~2x fewer VPU adds but its different grouping blew past the
+        # EPE budget on ill-conditioned border pixels (0.12 px vs cv2; see
+        # BENCHMARKS.md "Flow accuracy") — cv2-order arithmetic everywhere
+        # keeps the whole fused path at the exact path's accuracy level.
+        # Each pass stages its window ONCE into a contiguous scratch (vcat /
+        # hcat) and accumulates static slices of it: same values and add order
+        # as slicing the pieces per tap, but ~winsize x fewer concat ops in
+        # the Mosaic IR (compile time) and bounded live temporaries (the
+        # scoped-VMEM stack).
         for c in range(5):
-            if box:
-                v0 = jnp.concatenate([tail[c, _TAIL - r:_TAIL, :],
-                                      mcur[c, :, :], mtmp[c, 0:r, :]], axis=0)
-                vacc[...] = _window_sum(v0, s, 0, winsize)
-            else:
-                for k in range(winsize):
-                    off = k - r
-                    if off < 0:
-                        piece = jnp.concatenate([tail[c, _TAIL + off:_TAIL, :],
-                                                 mcur[c, 0:s + off, :]], axis=0)
-                    elif off == 0:
-                        piece = mcur[c, :, :]
-                    else:
-                        piece = jnp.concatenate([mcur[c, off:s, :],
-                                                 mtmp[c, 0:off, :]], axis=0)
-                    contrib = term(piece, taps[k])
-                    vacc[...] = contrib if k == 0 else vacc[...] + contrib
+            vcat[...] = jnp.concatenate(
+                [tail[c, _TAIL - r:_TAIL, :], mcur[c], mtmp[c, 0:r, :],
+                 jnp.zeros((vcat.shape[0] - (s + 2 * r), wp), jnp.float32)],
+                axis=0)
+            for k in range(winsize):
+                contrib = term(vcat[k:k + s, :], taps[k])
+                vacc[...] = contrib if k == 0 else vacc[...] + contrib
 
-            if box:
-                h0 = jnp.concatenate(
-                    [jnp.broadcast_to(vacc[:, 0:1], (s, r)), vacc[:, 0:w],
-                     jnp.broadcast_to(vacc[:, w - 1:w], (s, r))], axis=1)
-                mbb[c] = _window_sum(h0, w, 1, winsize)
-            else:
-                for k in range(winsize):
-                    off = k - r
-                    if off < 0:
-                        piece = jnp.concatenate(
-                            [jnp.broadcast_to(vacc[:, 0:1], (s, -off)),
-                             vacc[:, 0:w + off]], axis=1)
-                    elif off == 0:
-                        piece = vacc[:, 0:w]
-                    else:
-                        piece = jnp.concatenate(
-                            [vacc[:, off:w],
-                             jnp.broadcast_to(vacc[:, w - 1:w], (s, off))], axis=1)
-                    contrib = term(piece, taps[k])
-                    mbb[c] = contrib if k == 0 else mbb[c] + contrib
+            hcat[...] = jnp.concatenate(
+                [jnp.broadcast_to(vacc[:, 0:1], (s, r)), vacc[:, 0:w],
+                 jnp.broadcast_to(vacc[:, w - 1:w], (s, hcat.shape[1] - w - r))],
+                axis=1)
+            for k in range(winsize):
+                contrib = term(hcat[:, k:k + w], taps[k])
+                mbb[c] = contrib if k == 0 else mbb[c] + contrib
 
         g11 = mbb[0] * np.float32(scale)
         g12 = mbb[1] * np.float32(scale)
@@ -313,6 +309,10 @@ def fused_iteration(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
     odx, ody = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
+        # the cv2-order sequential blur's unrolled tap accumulation keeps more
+        # concat temporaries live than the old log-tree (18.4 MB peak scoped
+        # VMEM at 1080p vs the 16 MB default limit); v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         grid=(n_strips + 1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((5, s, wp),
@@ -336,7 +336,9 @@ def fused_iteration(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
             pltpu.VMEM((5, s, wp), jnp.float32),      # mtmp (strip t)
             pltpu.VMEM((5, s + 2 * warp_pallas.YOFF, ww), jnp.float32),  # win
             pltpu.VMEM((5, -(-(s + 1) // 8) * 8, ww), jnp.float32),  # rowbuf
+            pltpu.VMEM((-(-(s + 2 * r) // 8) * 8, wp), jnp.float32),  # vcat
             pltpu.VMEM((s, wp), jnp.float32),     # vacc (vertical blur acc)
+            pltpu.VMEM((s, -(-(w + 2 * r) // 128) * 128), jnp.float32),  # hcat
             pltpu.VMEM((5, s, w), jnp.float32),   # mbb (blurred M channels)
             pltpu.SemaphoreType.DMA,
         ],

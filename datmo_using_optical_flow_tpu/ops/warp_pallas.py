@@ -62,13 +62,17 @@ def _axis_atten(idx_f: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
-               wp: int, ww: int, s: int, t, rowbuf=None):
+               wp: int, ww: int, s: int, t, rowbuf=None, phase=None):
     """Shift-decomposition warp + update_matrices algebra for one ``s``-row
     strip starting at row ``t*s``; writes the five M planes into ``m_ref``
     (any (5, s, wp)-shaped ref).  ``copy`` is the in-flight R1-window DMA
     (waited after the flow weights are derived).  Shared by the standalone
     warp kernel below and the fused warp+blur+solve kernel
     (:func:`ops.flow_pallas.fused_iteration`).
+
+    ``phase`` (traced int32, default 0): ring offset of the window buffer —
+    window row k lives at ``win`` row ``(phase + k) % win_rows``.  The shift
+    rolls are circular anyway, so a ring-buffered window costs nothing here.
 
     ``rowbuf`` (optional (5, >=s+1, ww) scratch): stage the per-``a`` row roll
     once and lane-roll from it per ``b`` — halves the scoped-VMEM peak of the
@@ -79,20 +83,28 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     (double-buffered prefetch in the fused kernel)."""
     dx = dx_ref[...]
     dy = dy_ref[...]
-    x1 = jnp.floor(dx)
-    y1 = jnp.floor(dy)
-    fx = dx - x1
-    fy = dy - y1
+    wh = win.shape[1]
+    gi = (t * s + jax.lax.broadcasted_iota(jnp.int32, (s, wp), 0)).astype(jnp.float32)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (s, wp), 1).astype(jnp.float32)
+    # cv2/XLA-order weight arithmetic (ops/farneback.py:update_matrices):
+    # floor/frac of the ABSOLUTE position j+dx, not the displacement — in f32
+    # the two differ by ~j*2^-24 in the fractional weight, which the
+    # attenuated border pixels' ill-conditioned 2x2 systems amplify ~1000x
+    # (the round-2 0.12 px excursion traced to exactly this)
+    gx = gj + dx
+    gy = gi + dy
+    x1a = jnp.floor(gx)
+    y1a = jnp.floor(gy)
+    fx = gx - x1a
+    fy = gy - y1a
+    x1 = x1a - gj   # integer shift fields for the (a, b) decomposition
+    y1 = y1a - gi
     a00 = (1 - fy) * (1 - fx)
     a01 = (1 - fy) * fx
     a10 = fy * (1 - fx)
     a11 = fy * fx
 
-    wh = s + 2 * YOFF
-    gi = (t * s + jax.lax.broadcasted_iota(jnp.int32, (s, wp), 0)).astype(jnp.float32)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (s, wp), 1).astype(jnp.float32)
-    inside = ((x1 + gj >= 0) & (x1 + gj < w - 1)
-              & (y1 + gi >= 0) & (y1 + gi < h - 1))
+    inside = (x1a >= 0) & (x1a < w - 1) & (y1a >= 0) & (y1a < h - 1)
 
     # clip shifts to window capability (out-of-range pixels are ~inside or the
     # caller took the fallback branch)
@@ -115,7 +127,8 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
         def _():
             blo = jnp.min(jnp.where(ma, x1, jnp.inf)).astype(jnp.int32)
             bhi = jnp.max(jnp.where(ma, x1, -jnp.inf)).astype(jnp.int32)
-            shift = (wh - (YOFF + a)) % wh
+            off = YOFF + a if phase is None else phase + YOFF + a
+            shift = (wh - off) % wh
             if rowbuf is not None:
                 nb = rowbuf.shape[1]
                 rowbuf[...] = pltpu.roll(win[...], shift, 1)[:, :nb, :]
@@ -239,9 +252,15 @@ def warp_matrices(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
 
 
 def flow_in_range(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
-    """Scalar bool: every pixel's integer displacement fits the window."""
-    x1 = jnp.floor(dx)
-    y1 = jnp.floor(dy)
+    """Scalar bool: every pixel's integer displacement fits the window.
+
+    Mirrors the kernel's absolute-position arithmetic (floor(j+dx)-j), which
+    can differ from floor(dx) by 1 at knife-edge fractions."""
+    h, w = dx.shape
+    gj = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gi = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x1 = jnp.floor(gj + dx) - gj
+    y1 = jnp.floor(gi + dy) - gi
     return ((jnp.min(y1) >= AMIN) & (jnp.max(y1) <= AMAX)
             & (jnp.min(x1) >= BMIN) & (jnp.max(x1) <= BMAX))
 
