@@ -1,0 +1,97 @@
+"""From-points end-to-end throughput (VERDICT r2 item 5): PCD decode ->
+preprocess (flip -> RANSAC ground removal -> ROI -> x10 densify -> 200x200
+BEV) -> stream step (pyramidal Farnebäck + masks + DBSCAN + EKF tracking) ->
+saving_utils-parity artifact mirroring, measured as one stream at the
+reference's production shape: CARLA-spec ~56k raw points/frame
+(``single_target_simultion.py:63-70``), x10 densification
+(``Optical_flow/main.py:87``), 200x200 BEV at 0.2 m
+(``Optical_flow/config.yaml:3-5``).
+
+Unlike bench.py's grid-fed 1080p headline, nothing is pre-formed here: the
+measured loop starts from .pcd bytes on disk and ends with artifacts on disk
+(the same boundary as the reference's ``process_multiple_frames``,
+``Optical_flow/main.py:541``).  Prints ONE JSON line
+{"metric": "from_pcd_fps", ...} with the per-stage breakdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+N_FRAMES = 25
+
+
+def main() -> None:
+    import jax
+
+    from datmo_using_optical_flow_tpu.utils.compile_cache import enable as _ec
+    _ec()
+
+    from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+    from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
+    from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget,
+                                                            SyntheticScene,
+                                                            write_synthetic_sequence)
+
+    log(f"devices: {jax.devices()}")
+    cfg = PipelineAConfig(  # defaults = reference scale: 200x200 grid @ 0.2 m
+        capacities=CapacityConfig(max_raw_points=65536, max_roi_points=8192,
+                                  max_cells=4096, max_clusters=32, max_tracks=64))
+    assert cfg.grid_shape == (200, 200)
+    scene = SyntheticScene(
+        ground_points=48000, ground_extent=20.0,
+        static_boxes=(BoxTarget(center0=(7.0, 7.0, 1.0), velocity=(0, 0),
+                                points_per_frame=2000),),
+        targets=(BoxTarget(center0=(-4.0, -2.0, 0.75), velocity=(0.55, 0.3),
+                           points_per_frame=3000),
+                 BoxTarget(center0=(4.0, 3.0, 0.75), velocity=(-0.4, -0.45),
+                           size=(3.0, 1.6, 1.4), points_per_frame=3000)),
+        seed=77,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        seq_dir = os.path.join(tmp, "seq")
+        paths = write_synthetic_sequence(scene, seq_dir, N_FRAMES)
+        pipe = PipelineA(cfg)
+
+        log("warmup pass (compiles preprocess + stream step)...")
+        t0 = time.time()
+        pipe.process_files(paths[:3], output_dir=os.path.join(tmp, "warm"))
+        log(f"warmup: {time.time() - t0:.1f}s")
+
+        out_dir = os.path.join(tmp, "out")
+        t0 = time.time()
+        summary = pipe.process_files(paths, output_dir=out_dir)
+        elapsed = time.time() - t0
+        fps = N_FRAMES / elapsed
+        t = summary["timings"]
+        log(f"{N_FRAMES} frames ({summary['pairs']} pairs) in {elapsed:.2f}s; "
+            f"tracks={len(summary['tracks'])}")
+        breakdown = {k: round(v / N_FRAMES * 1000, 2) for k, v in t.items()}
+        other = elapsed / N_FRAMES * 1000 - sum(breakdown.values())
+        breakdown["io_decode_other"] = round(other, 2)
+        log(f"per-frame breakdown (ms): {breakdown}")
+
+        print(json.dumps({
+            "metric": "from_pcd_fps",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "raw_points_per_frame": 56000,
+            "grid": "200x200",
+            "vs_baseline": round(fps / 30.0, 4),
+            "breakdown_ms_per_frame": breakdown,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,19 @@ from scipy.spatial import cKDTree
 
 def icp_point_to_point(source: np.ndarray, target: np.ndarray, threshold: float = 0.02,
                        max_iterations: int = 30, relative_fitness: float = 1e-6,
-                       relative_rmse: float = 1e-6) -> np.ndarray:
-    """Point-to-point ICP with identity init (``GMFA.py:297-309`` semantics)."""
+                       relative_rmse: float = 1e-6,
+                       return_iterations: bool = False) -> np.ndarray:
+    """Point-to-point ICP with identity init (``GMFA.py:297-309`` semantics).
+
+    ``return_iterations``: also return the number of NN/fitness evaluations
+    performed (for early-exit regime tests, where the relative-fitness/rmse
+    criteria fire before ``max_iterations``)."""
     transform = np.eye(4)
     tree = cKDTree(target)
     prev_f, prev_r = np.inf, np.inf
+    iters = 0
     for _ in range(max_iterations):
+        iters += 1
         pts = source @ transform[:3, :3].T + transform[:3, 3]
         dist, idx = tree.query(pts, k=1)
         corr = dist <= threshold
@@ -43,6 +50,8 @@ def icp_point_to_point(source: np.ndarray, target: np.ndarray, threshold: float 
         step[:3, :3] = r
         step[:3, 3] = t
         transform = step @ transform
+    if return_iterations:
+        return transform, iters
     return transform
 
 

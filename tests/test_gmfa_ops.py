@@ -194,6 +194,42 @@ def test_icp_cached_matches_uncached():
                                    np.asarray(got.inlier_rmse), rtol=1e-4)
 
 
+def test_icp_early_exit_criteria_fire():
+    """VERDICT r2 item 7: the convergence-criteria path, not just GMFA's quirk
+    regime.  At a realistic threshold (0.5 m) on a well-posed registration the
+    relative-fitness/rmse criteria fire well before max_iterations; the
+    while_loop must stop early with the oracle's transform, and its iteration
+    count must track ``oracle/reference_b.icp_point_to_point``'s evaluation
+    count (the loop phasings differ by at most one evaluation: the oracle
+    checks before applying the update, ours applies it in the same body)."""
+    for seed, yaw, t, noise in ((3, 0.03, [0.15, -0.1, 0.05], 0.0),
+                                (4, -0.02, [0.05, 0.2, 0.0], 0.005)):
+        rng = np.random.default_rng(seed)
+        cloud = rng.uniform(-8, 8, size=(2000, 3)).astype(np.float32)
+        true = _rigid(yaw, t)
+        target = (cloud @ true[:3, :3].T + true[:3, 3]
+                  + rng.normal(scale=noise, size=cloud.shape)).astype(np.float32)
+        oracle_t, oracle_iters = refb.icp_point_to_point(
+            cloud.astype(np.float64), target.astype(np.float64), threshold=0.5,
+            max_iterations=30, return_iterations=True)
+        pad = 2048
+        src = np.full((pad, 3), 1e9, np.float32)
+        src[:2000] = cloud
+        dst = np.full((pad, 3), 1e9, np.float32)
+        dst[:2000] = target
+        m = np.zeros(pad, bool)
+        m[:2000] = True
+        res = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=0.5, max_iterations=30)
+        it = int(res.iterations)
+        assert oracle_iters < 30, oracle_iters       # the regime actually fires
+        assert it < 30, it                           # ours early-exits too
+        assert abs(it - oracle_iters) <= 1, (it, oracle_iters)
+        np.testing.assert_allclose(np.asarray(res.transformation), oracle_t,
+                                   atol=5e-3)
+        assert float(res.fitness) > 0.99
+
+
 def test_transform_points():
     t = _rigid(0.3, [1, 2, 3])
     pts = np.random.default_rng(3).normal(size=(10, 3))
