@@ -78,7 +78,10 @@ def main() -> None:
         log(f"{N_FRAMES} frames ({summary['pairs']} pairs) in {elapsed:.2f}s; "
             f"tracks={len(summary['tracks'])}")
         breakdown = {k: round(v / N_FRAMES * 1000, 2) for k, v in t.items()}
-        other = elapsed / N_FRAMES * 1000 - sum(breakdown.values())
+        # artifacts run on the background writer thread (overlapped with the
+        # enqueue loop), so they don't sum with the loop-side stages
+        other = (elapsed / N_FRAMES * 1000
+                 - breakdown["preprocess"] - breakdown["step"])
         breakdown["io_decode_other"] = round(other, 2)
         log(f"per-frame breakdown (ms): {breakdown}")
 

@@ -1,0 +1,151 @@
+"""Profile the GMFA NN/ICP hot path on the real chip (diagnostics only).
+
+Answers, at reference load (~10^5 x 10^5 points, the workload of
+``GMFA/GMFA.py:451-531``):
+
+* how the classification sweep's cost splits between target-index build
+  (Morton sort + layout) and the Pallas kernel sweep;
+* how (_SRC_BLOCK, _TGT_TILE) granularity affects sweep time (finer blocks
+  tighten the per-block pruning threshold; finer tiles prune at finer
+  granularity — VERDICT r2 item 3's "sub-tile pruning" lever);
+* the full registration_icp cost for reference.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from datmo_using_optical_flow_tpu.utils.compile_cache import enable as _ec
+
+_ec()
+import jax.numpy as jnp
+import numpy as np
+
+from datmo_using_optical_flow_tpu.config import CapacityConfig, GMFAConfig
+from datmo_using_optical_flow_tpu.io.frames import pad_points
+from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
+from datmo_using_optical_flow_tpu.ops import nn_pallas
+from datmo_using_optical_flow_tpu.ops.icp import registration_icp, transform_points
+from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors
+from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget, SyntheticScene,
+                                                        synthetic_frame)
+
+REPS = 8
+_RT = [0.0]
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def sync(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+
+def timed(name, fn, *args, reps=REPS):
+    sync(fn(*args))  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    dt = (best - _RT[0]) / reps
+    log(f"{name:48s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    cfg = GMFAConfig(capacities=CapacityConfig(
+        max_raw_points=65536, max_roi_points=10240, max_cells=4096,
+        max_clusters=32, max_tracks=64))
+    scene = SyntheticScene(
+        ground_points=40000, ground_extent=25.0,
+        static_boxes=(BoxTarget(center0=(-8.0, 6.0, 1.0), velocity=(0, 0),
+                                points_per_frame=4000),),
+        targets=(BoxTarget(center0=(6.0, -4.0, 0.75), velocity=(1.5, 0.8),
+                           points_per_frame=4000),
+                 BoxTarget(center0=(-6.0, 5.0, 0.75), velocity=(-1.0, -1.2),
+                           size=(3.0, 1.6, 1.4), points_per_frame=4000),
+                 BoxTarget(center0=(0.0, 10.0, 0.75), velocity=(0.5, -1.5),
+                           points_per_frame=4000)),
+        seed=42)
+    pipe = GMFAPipeline(cfg, max_moving_points=16384)
+    key = jax.random.PRNGKey(0)
+    log(f"devices: {jax.devices()}")
+    clouds = []
+    for i in range(2):
+        raw = synthetic_frame(scene, i, dt=cfg.dt).astype(np.float32)
+        padded, mask = pad_points(raw, cfg.capacities.max_raw_points)
+        ex, exmask = pipe.preprocess(jnp.asarray(padded), jnp.asarray(mask),
+                                     jax.random.fold_in(key, i))
+        clouds.append((ex, exmask))
+    (prev, prev_m), (cur, cur_m) = clouds
+    n = int(jnp.sum(cur_m))
+    log(f"expanded points/cloud: {n} (padded {cur.shape[0]})")
+
+    tiny = jax.jit(lambda a: a + 1.0)
+    sync(tiny(jnp.float32(1)))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(tiny(jnp.float32(1)))
+        rts.append((time.perf_counter() - t0) * 1000)
+    _RT[0] = min(rts)
+    log(f"dispatch+readback constant: {_RT[0]:.1f} ms (per timed sweep, "
+        f"divided by reps={REPS})")
+    _RT[0] = _RT[0] / REPS  # timed() divides total by reps
+
+    # ---- index build & sort costs ----
+    timed("build_target_index (cur)", jax.jit(nn_pallas.build_target_index),
+          cur, cur_m)
+    timed("morton argsort (prev)",
+          jax.jit(lambda p: jnp.argsort(nn_pallas._morton_keys(p),
+                                        stable=True)), prev)
+
+    # ---- kernel sweep with prebuilt index, sorted sources ----
+    index = jax.jit(nn_pallas.build_target_index)(cur, cur_m)
+    order = jax.jit(lambda p: jnp.argsort(nn_pallas._morton_keys(p),
+                                          stable=True))(prev)
+    src_sorted = prev[order]
+
+    def mk_sweep():
+        @jax.jit
+        def sweep(s, idxt):
+            return nn_pallas.nearest_neighbors_pallas(s, idxt)
+        return sweep
+
+    timed("kernel sweep (256, 256) prebuilt", mk_sweep(), src_sorted, index)
+
+    base_sb, base_tt = nn_pallas._SRC_BLOCK, nn_pallas._TGT_TILE
+    for sb, tt in ((128, 256), (256, 128), (128, 128), (512, 256)):
+        nn_pallas._SRC_BLOCK, nn_pallas._TGT_TILE = sb, tt
+        try:
+            idx2 = jax.jit(lambda t, m: nn_pallas.build_target_index(t, m))(
+                cur, cur_m)
+            timed(f"kernel sweep ({sb}, {tt}) prebuilt", mk_sweep(),
+                  src_sorted, idx2)
+        except Exception as e:  # noqa: BLE001
+            log(f"kernel sweep ({sb}, {tt}) FAILED: {type(e).__name__}: {e}")
+        finally:
+            nn_pallas._SRC_BLOCK, nn_pallas._TGT_TILE = base_sb, base_tt
+
+    # ---- full wrappers ----
+    timed("nearest_neighbors full (build+sort+sweep)",
+          jax.jit(nearest_neighbors), cur, prev, prev_m)
+    timed("registration_icp (reference criteria)",
+          jax.jit(lambda s, sm, t, tm: registration_icp(
+              s, sm, t, tm, cfg.icp.threshold, cfg.icp.max_iterations,
+              cfg.icp.relative_fitness, cfg.icp.relative_rmse)),
+          prev, prev_m, cur, cur_m, reps=1)
+
+
+if __name__ == "__main__":
+    main()

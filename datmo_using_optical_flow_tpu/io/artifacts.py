@@ -120,9 +120,14 @@ class ArtifactSink:
             if not file_exists:
                 w.writerow(["Frame Index", "Point Index", "Filtered X Velocity",
                             "Filtered Y Velocity", "Magnitude", "Angular Velocity"])
-            for idx, (i, j) in enumerate(zip(ii, jj)):
-                w.writerow([frame_index, idx, vx_f[i, j], vy_f[i, j],
-                            magnitude[i, j], angular[i, j]])
+            # C-accelerated csv.writer over the gathered 1-D columns (str() of
+            # np.float32 == the reference's exact cell formatting,
+            # saving_utils.py:40-46); this is the hottest host-side artifact
+            w.writerows(
+                [frame_index, idx, a, b, c, d]
+                for idx, (a, b, c, d) in enumerate(zip(
+                    vx_f[ii, jj], vy_f[ii, jj], magnitude[ii, jj],
+                    angular[ii, jj])))
 
     def append_track_velocities(self, tracks: dict[int, np.ndarray],
                                 frame_index: int) -> None:

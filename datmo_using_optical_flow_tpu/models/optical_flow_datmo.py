@@ -222,51 +222,102 @@ class PipelineA:
             if progress:
                 print(f"resumed from {checkpoint_path} at frame {start_frame}")
 
-        timings = {"preprocess": 0.0, "step": 0.0, "artifacts": 0.0}
-        n_pairs = 0
-        for i, (pts, mask) in enumerate(source):
-            if i < start_frame:
-                continue
-            # per-frame key derivation is index-based so resume is bit-reproducible
-            k = jax.random.fold_in(key, i)
-            try:
-                t0 = time.perf_counter()
-                bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
-                timings["preprocess"] += time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001
-                # a bad frame must not kill the stream (the reference's blanket
-                # per-pair except, main.py:635-637)
-                print(f"Error processing frame {i}: {e}")
-                continue
+        # Artifact mirroring runs on a background writer thread: every
+        # device->host transfer through the (high-latency) dispatch path —
+        # including the skip-flag read — happens off the enqueue loop, so the
+        # device pipeline never stalls on host I/O.  Each frame's observables
+        # (BEV + StepOutputs, ~15 device arrays) are packed into ONE flat f32
+        # buffer on device (utils/hostpack.py) and the writer drains several
+        # queued frames per readback, so the ~28 ms/transfer tunnel latency is
+        # paid once per batch instead of once per leaf.  The queue is bounded
+        # so a slow disk applies backpressure instead of accumulating buffers.
+        import queue as _queue
+        import threading
 
-            t0 = time.perf_counter()
-            sink.save_bev(np.asarray(bev), i)
-            timings["artifacts"] += time.perf_counter() - t0
+        from datmo_using_optical_flow_tpu.utils.hostpack import HostPacker
 
-            t0 = time.perf_counter()
-            carry, out = self.step_stream(bev, carry)
-            timings["step"] += time.perf_counter() - t0
+        timings = {"preprocess": 0.0, "step": 0.0, "artifacts": 0.0,
+                   "artifacts_transfer": 0.0}
+        state = {"pairs": 0}
+        work: _queue.Queue = _queue.Queue(maxsize=16)
+        packer: list[HostPacker | None] = [None]
 
-            if not bool(out.skip):
+        def _mirror(i: int, host_bev: np.ndarray, out, alive) -> None:
+            sink.save_bev(host_bev, i)
+            if out is not None and not bool(out.skip):
                 # a skipped pair (first frame / invalid BEV) writes no pair
                 # artifacts, like the reference (main.py:572-574)
-                t0 = time.perf_counter()
-                self._write_pair_artifacts(sink, out, i - 1)
-                timings["artifacts"] += time.perf_counter() - t0
-                n_pairs += 1
+                self._write_pair_artifacts(sink, out, i - 1, on_host=True)
+                state["pairs"] += 1
                 if progress:
                     print(f"pair {i - 1}: cells={int(out.cell_count)} "
-                          f"tracks={int(np.asarray(carry.step.table.alive).sum())}")
+                          f"tracks={int(np.asarray(alive).sum())}")
                 if bool(out.cell_overflow):
-                    print(f"pair {i - 1}: WARNING valid cells exceed max_cells="
-                          f"{self.cfg.capacities.max_cells}; clustering truncated")
-            if (i and checkpoint_every and checkpoint_path
-                    and (i + 1) % checkpoint_every == 0):
-                save_checkpoint(checkpoint_path, carry, step=i + 1)
+                    print(f"pair {i - 1}: WARNING valid cells exceed "
+                          f"max_cells={self.cfg.capacities.max_cells}; "
+                          f"clustering truncated")
+
+        def _writer():
+            done = False
+            while not done:
+                batch = [work.get()]
+                while len(batch) < 8:
+                    try:
+                        batch.append(work.get_nowait())
+                    except _queue.Empty:
+                        break
+                if batch[-1] is None:
+                    done = True
+                    batch.pop()
+                if not batch:
+                    return
+                t0 = time.perf_counter()
+                # one D2H transfer for the whole drained batch
+                bufs = np.asarray(HostPacker.stack([b for _, b, _ in batch]))
+                t1 = time.perf_counter()
+                timings["artifacts_transfer"] += t1 - t0
+                for (i, _, alive), buf in zip(batch, bufs):
+                    host_bev, out = packer[0].unpack(buf)
+                    _mirror(i, host_bev, out, alive)
+                timings["artifacts"] += time.perf_counter() - t1
+
+        writer = threading.Thread(target=_writer, daemon=True)
+        writer.start()
+        try:
+            for i, (pts, mask) in enumerate(source):
+                if i < start_frame:
+                    continue
+                # per-frame key derivation is index-based so resume is
+                # bit-reproducible
+                k = jax.random.fold_in(key, i)
+                try:
+                    t0 = time.perf_counter()
+                    bev = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), k)
+                    timings["preprocess"] += time.perf_counter() - t0
+                except Exception as e:  # noqa: BLE001
+                    # a bad frame must not kill the stream (the reference's
+                    # blanket per-pair except, main.py:635-637)
+                    print(f"Error processing frame {i}: {e}")
+                    continue
+
+                t0 = time.perf_counter()
+                carry, out = self.step_stream(bev, carry)
+                timings["step"] += time.perf_counter() - t0
+
+                if packer[0] is None:
+                    packer[0] = HostPacker((bev, out))
+                alive = carry.step.table.alive if progress else None
+                work.put((i, packer[0].pack((bev, out)), alive))
+                if (i and checkpoint_every and checkpoint_path
+                        and (i + 1) % checkpoint_every == 0):
+                    save_checkpoint(checkpoint_path, carry, step=i + 1)
+        finally:
+            work.put(None)
+            writer.join()
 
         tracks = self._tracks_dict(carry.step.table)
         sink.print_final_track_velocities(tracks)
-        return {"tracks": tracks, "timings": timings, "pairs": n_pairs}
+        return {"tracks": tracks, "timings": timings, "pairs": state["pairs"]}
 
     @staticmethod
     def _tracks_dict(table: tracker_a.TrackTable) -> dict[int, np.ndarray]:
@@ -274,10 +325,11 @@ class PipelineA:
         return {int(tid[i]): state[i] for i in np.nonzero(alive)[0]}
 
     def _write_pair_artifacts(self, sink: ArtifactSink, out: StepOutputs,
-                              pair_index: int) -> None:
+                              pair_index: int, on_host: bool = False) -> None:
         # one batched device->host transfer (each np.asarray would be a separate
-        # ~30ms tunnel round trip)
-        host = jax.device_get(out)
+        # ~30ms tunnel round trip); ``on_host=True`` when the caller already
+        # mirrored the outputs (utils/hostpack.py single-buffer path)
+        host = out if on_host else jax.device_get(out)
         # reference saves raw grids (main.py:580) then overwrites with filtered
         # (main.py:610) under the same index -> net artifact is the filtered grid
         sink.save_velocity_grid(host.velocity_x, host.velocity_y, pair_index)
