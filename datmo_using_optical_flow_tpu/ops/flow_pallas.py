@@ -132,7 +132,7 @@ def box_blur_solve(M: jnp.ndarray, winsize: int) -> tuple[jnp.ndarray, jnp.ndarr
 # t-2..t, all resident).  Replaces the warp_matrices -> blur_solve pair, whose
 # M round trip (write 42 MB + re-read ~60 MB at 1080p) was pure HBM traffic.
 
-FS = 24   # fused-kernel strip rows (multiple of 8)
+FS = 32   # fused-kernel strip rows (multiple of 8; 2*warp_pallas.YOFF must be a multiple of FS's window ring slots — wh = FS + 2*YOFF with wh % FS == 0)
 _TAIL = 8  # retained rows of the t-2 strip (>= winsize//2, 8-aligned)
 
 

@@ -43,9 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from datmo_using_optical_flow_tpu.oracle.np_farneback import BORDER, BORDER_ATTEN
 
 S = 32            # rows per strip
-YOFF = 12         # window top margin: floor(dy) in [-YOFF, YOFF-2]
+YOFF = 16         # window top margin: floor(dy) in [-YOFF, YOFF-2]
 XOFF = 64         # window left margin: floor(dx) in [-XOFF, XOFF-2]
-WH = S + 2 * YOFF  # window rows (8-aligned)
+WH = S + 2 * YOFF  # window rows (= 2*S: the ring-DMA slot math needs WH % S == 0)
 # clip bounds for the shift loops (geometric capability of the window)
 AMIN, AMAX = -YOFF, YOFF - 2
 BMIN, BMAX = -XOFF, XOFF - 2
@@ -194,13 +194,48 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     m_ref[4] = r6 * r2 + r5 * r3
 
 
-def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, sem,
-            *, h: int, w: int, wp: int, ww: int):
+def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, rowbuf, sem,
+            *, h: int, w: int, wp: int, ww: int, n_strips: int):
+    """One strip with a ring-buffered R1 window: padded R1 row j lives at ring
+    row j % WH, only the S NEW rows per strip are DMA'd, and that copy is
+    started one grid step ahead (after the previous strip's last read of the
+    slot it overwrites) so it rides under a full strip of compute + the M
+    write-back.  The old form started AND waited the full 2.3 MB window copy
+    inside the same strip — ~10 us/strip of exposed DMA, measured as ~45% of
+    the warp's 1.47 ms at 1080p."""
     t = pl.program_id(0)
-    copy = pltpu.make_async_copy(r1_hbm.at[:, pl.ds(t * S, WH), :], win, sem)
-    copy.start()
-    _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy,
-               h=h, w=w, wp=wp, ww=ww, s=S, t=t)
+    n_slots = WH // S  # = 2
+
+    @pl.when(t == 0)
+    def _():
+        prime = pltpu.make_async_copy(r1_hbm.at[:, pl.ds(0, WH), :], win, sem)
+        prime.start()
+        prime.wait()
+
+    @pl.when(t >= 1)
+    def _():
+        for slot in range(n_slots):  # rows [(t+1)*S, (t+2)*S) live at slot (t+1)%2
+            @pl.when((t + 1) % n_slots == slot)
+            def _():
+                pltpu.make_async_copy(
+                    r1_hbm.at[:, pl.ds((t + 1) * S, S), :],
+                    win.at[:, slot * S:(slot + 1) * S, :], sem).wait()
+
+    _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, None,
+               h=h, w=w, wp=wp, ww=ww, s=S, t=t, rowbuf=rowbuf,
+               phase=(t % n_slots) * S)
+
+    # prefetch the next strip's new rows: they overwrite the slot this strip
+    # just finished reading, and the copy overlaps the M write-back plus the
+    # next strip's weight computation
+    @pl.when(t < n_strips - 1)
+    def _():
+        for slot in range(n_slots):
+            @pl.when((t + 2) % n_slots == slot)
+            def _():
+                pltpu.make_async_copy(
+                    r1_hbm.at[:, pl.ds((t + 2) * S, S), :],
+                    win.at[:, slot * S:(slot + 1) * S, :], sem).start()
 
 
 @partial(jax.jit, static_argnames=("s",))
@@ -232,10 +267,13 @@ def warp_matrices(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
 
     r0p = jnp.pad(R0, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    kernel = partial(_kernel, h=h, w=w, wp=wp, ww=ww)
+    kernel = partial(_kernel, h=h, w=w, wp=wp, ww=ww, n_strips=n_tiles)
     m = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
+        # the WH=2S ring window + rowbuf staging push scoped VMEM past the
+        # 16 MB default; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((5, S, wp), lambda t: (0, t, 0),
@@ -245,6 +283,7 @@ def warp_matrices(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
         out_specs=pl.BlockSpec((5, S, wp), lambda t: (0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((5, WH, ww), jnp.float32),
+                        pltpu.VMEM((5, -(-(S + 1) // 8) * 8, ww), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
     )(R1_padded, r0p, pad_hw(dx), pad_hw(dy))
