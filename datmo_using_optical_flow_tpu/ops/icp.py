@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from datmo_using_optical_flow_tpu.ops.nn import (
     nearest_neighbors, nearest_neighbors_active,
@@ -60,7 +61,8 @@ _DELTA_PAD = 1e-4
 
 
 def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
-               max_iterations, init_transform, cached, tgt_index=None):
+               max_iterations, init_transform, cached, tgt_index=None,
+               cap2=None):
     """One ICP while_loop phase (Open3D criteria) from ``init_transform``.
     Returns the converged transform."""
     n = srcf.shape[0]
@@ -93,9 +95,10 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             # the caller permuted the source by Morton rank once; only a
             # cumsum partition is needed per iteration
             idx_new, _, lo_q = nearest_neighbors_active_presorted(
-                pts, tgtf, tmask, need, tgt_index)
+                pts, tgtf, tmask, need, tgt_index, cap2=cap2)
         else:
-            idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need)
+            idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need,
+                                                        cap2=cap2)
         idx = jnp.where(need, idx_new, idx_old)
         # exact d2 at the winner (direct subtraction; see eval_full)
         diff = pts - tgtf[idx]
@@ -146,14 +149,16 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
 _CACHED_MIN = 1 << 15
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cached", "coarse_stride"))
+@partial(jax.jit, static_argnames=("max_iterations", "cached", "coarse_stride",
+                                   "search_cap"))
 def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                      target: jnp.ndarray, target_mask: jnp.ndarray,
                      threshold: float = 0.02, max_iterations: int = 30,
                      relative_fitness: float = 1e-6,
                      relative_rmse: float = 1e-6,
                      cached: bool | None = None,
-                     coarse_stride: int | None = None) -> IcpResult:
+                     coarse_stride: int | None = None,
+                     search_cap: float | None = None) -> IcpResult:
     """ICP with identity init (the reference always passes I, GMFA.py:302).
 
     ``cached`` (default: on for targets >= 32k points) enables incremental
@@ -175,6 +180,20 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     convergence criteria fire before ``max_iterations``; at GMFA's threshold
     they do not (fitness jitter >> 1e-6), so it stays off by default.  Fixed
     point pinned by tests/test_gmfa_ops.py::test_icp_coarse_matches_full.
+
+    ``search_cap`` (meters; default 5x threshold on the cached Pallas path):
+    capped correspondence search.  ICP only ever *uses* a neighbor when its
+    distance is inside ``threshold``: correspondences get exact NNs either
+    way, non-correspondences contribute exactly zero to Kabsch/fitness/rmse
+    whatever index they carry, and the capped sweep's lower bound (>= the
+    cap for capped rows) still drives the exclusion shell soundly.  The
+    transform/fitness/rmse sequence is therefore BIT-IDENTICAL to the
+    uncapped run (pinned by tests/test_gmfa_ops.py::test_icp_capped_matches_uncapped)
+    while tiles farther than the cap from a whole source block are skipped
+    even before every row has a candidate — at GMFA load most of the sweep.
+    The margin above ``threshold`` keeps capped rows excluded for
+    ~(cap - threshold)/per-iteration-displacement iterations before they are
+    re-queried.  Set to ``float('inf')`` to disable.
     """
     srcf = source.astype(jnp.float32)
     tgtf = target.astype(jnp.float32)
@@ -184,6 +203,15 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
         cached = target.shape[0] >= _CACHED_MIN
     if coarse_stride is None:
         coarse_stride = 1
+    if search_cap is None:
+        cap = 5.0 * jnp.asarray(threshold, jnp.float32)
+    elif not np.isfinite(search_cap):
+        cap = None                                   # exact sweep
+    else:
+        cap = jnp.asarray(search_cap, jnp.float32)
+    if cap is not None:
+        cap = jnp.maximum(cap, jnp.asarray(threshold, jnp.float32))
+    cap2 = None if cap is None else cap * cap        # never cap inside the gate
 
     tgt_index = None
     if cached:
@@ -210,7 +238,7 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
 
     transform, it_f, eval_state, observables, cache0 = _icp_phase(
         srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
-        max_iterations, t0, cached, tgt_index=tgt_index)
+        max_iterations, t0, cached, tgt_index=tgt_index, cap2=cap2)
     _, _, d2, corr, _ = eval_state(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
     return IcpResult(transform, fitness, rmse, it_c + it_f)

@@ -110,7 +110,7 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
 
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray, active: jnp.ndarray,
-                             index=None
+                             index=None, cap2=None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN (+ lower bound) for only the ``active`` subset of source rows; cost
     scales with the subset size (the incremental-ICP hot path,
@@ -122,6 +122,12 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     ``(inactive, morton)`` both compacts active rows to the front AND keeps
     each source block spatially coherent; the Pallas kernel's ``n_active``
     scalar lets whole inactive blocks skip the target sweep.
+
+    ``cap2``: optional squared-distance search cap (see
+    :func:`ops.nn_pallas.nearest_neighbors_pallas`): rows with true NN d2
+    below the cap stay exact; rows above it return d2 >= cap2 with a sound
+    lower bound.  The XLA fallback ignores it (always exact — a valid
+    instance of the capped contract).
     """
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
@@ -140,7 +146,7 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     order = jnp.argsort(key, stable=True)
     n_active = jnp.sum(active.astype(jnp.int32))
     idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
-        src[order], index, n_active)
+        src[order], index, n_active, cap2)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
     diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
@@ -153,7 +159,7 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
 
 def nearest_neighbors_active_presorted(src: jnp.ndarray, tgt: jnp.ndarray,
                                        tgt_mask: jnp.ndarray,
-                                       active: jnp.ndarray, index
+                                       active: jnp.ndarray, index, cap2=None
                                        ) -> tuple[jnp.ndarray, jnp.ndarray,
                                                   jnp.ndarray]:
     """:func:`nearest_neighbors_active` for sources that are ALREADY spatially
@@ -171,7 +177,7 @@ def nearest_neighbors_active_presorted(src: jnp.ndarray, tgt: jnp.ndarray,
     dest = jnp.where(active, pos_a, pos_i)   # original row -> compact slot
     perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
     idx_c, d2_c, lo_c = nn_pallas.nearest_neighbors_pallas(src[perm], index,
-                                                           n_active)
+                                                           n_active, cap2)
     idx, d2, lo = idx_c[dest], d2_c[dest], lo_c[dest]  # gather-back
     diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
     exact = jnp.sum(diff * diff, axis=1)

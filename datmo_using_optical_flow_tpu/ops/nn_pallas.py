@@ -50,6 +50,16 @@ MAX_TARGET = 1 << 18
 # 8-term dot + norm sums + final combine accumulate <= ~10 ulps on operands
 # bounded by (sn' + tn'_cand); 2^-23 * 10 * safety 4 ~ 5e-6 -> use 1e-5.
 ALPHA = np.float32(1e-5)
+# hi/lo split cross term (USE_HILO): bf16 x bf16 products are exact in f32
+# (8+8 mantissa bits), but the dropped lo*lo term adds ~2^-16 relative of
+# |sp||tp| per product; widen the envelope accordingly.
+ALPHA_HILO = np.float32(2e-4)
+# Run the cross-term matmul as three bf16 passes (hi*hi + hi*lo + lo*hi with
+# f32 accumulation) instead of one f32 dot.  Worthwhile only if Mosaic's f32
+# matmul costs more than 3 bf16 passes on this chip — measured before enabling
+# (VERDICT r2 item 3); exactness impact is bounded by ALPHA_HILO and pinned by
+# the KDTree-parity tests, which run the same arithmetic in interpret mode.
+USE_HILO = False
 # absolute slack (meters) subtracted from the geometric tile bound to cover
 # its own f32 rounding
 _LB_PAD = np.float32(1e-3)
@@ -123,7 +133,7 @@ def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray) -> TargetIndex:
         tile_cent=cent, tile_rad=rad)
 
 
-def _kernel(na_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
+def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
             cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
             bd, bi, bl, bmax, lb_s, to_s, sems, *, m_tiles: int):
     t = pl.program_id(0)
@@ -141,7 +151,7 @@ def _kernel(na_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
         c2.start()
         c1.wait()
         c2.wait()
-        _kernel_body(t, lb_s, to_s, tgt_ref, tn_ref, tidx_ref, src_ref,
+        _kernel_body(t, cap_ref, lb_s, to_s, tgt_ref, tn_ref, tidx_ref, src_ref,
                      cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
                      bd, bi, bl, bmax, m_tiles=m_tiles)
 
@@ -152,28 +162,34 @@ def _kernel(na_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
         dl_ref[...] = jnp.full_like(dl_ref, jnp.inf)
 
 
-def _kernel_body(t, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
+def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
                  cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
                  bd, bi, bl, bmax, *, m_tiles: int):
+    alpha = ALPHA_HILO if USE_HILO else ALPHA
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
     cent_row = cent_row_ref[0][0:1, :]      # (1, 8) block representative
     cent_col = cent_col_ref[0][:, 0:1]      # (8, 1) same, coords on sublanes
     sp = src_ref[...] - cent_row            # (B, 8) recentered sources
     sn = jnp.sum(sp * sp, axis=1, keepdims=True)            # (B, 1)
+    cap2 = cap_ref[0]
 
     bd[...] = jnp.full_like(bd, jnp.inf)    # running min of (d2 - sn)
     bi[...] = jnp.full_like(bi, _BIG_I)
     bl[...] = jnp.full_like(bl, jnp.inf)
-    bmax[0, 0] = jnp.float32(jnp.inf)       # max over rows of absolute best d2
+    # capped search (ops/icp.py): rows are only owed an exact NN when their
+    # true d2 < cap2; a tile provably farther than cap2 from every row is
+    # skipped even while some row still has no candidate (bd=inf).  cap2=inf
+    # recovers the exact-NN sweep bit-for-bit.
+    bmax[0, 0] = cap2                       # max over rows of absolute best d2
 
     def tile_step(j, _):
         jt = j0_ref[0, j]                   # tiles in ascending-lb order
 
         # bounding-ball skip: no point of this tile can beat the block's
-        # current worst row.  lb_ref is sorted ascending, so once this
-        # fails it fails for every later j — the loop degenerates to a
-        # scalar test per remaining tile
+        # current worst row (or the search cap).  lb_ref is sorted ascending,
+        # so once this fails it fails for every later j — the loop degenerates
+        # to a scalar test per remaining tile
         @pl.when(lb_ref[0, j] <= bmax[0, 0])
         def _():
             tile = tgt_ref[jt]              # (8, T): lane dim = points
@@ -182,9 +198,28 @@ def _kernel_body(t, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
             tp = tile - cent_col            # (8, T) recentered targets
             tpn = jnp.sum(tp * tp, axis=0, keepdims=True)   # (1, T) exact-ish
             tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
-            cross = jax.lax.dot_general(
-                sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if USE_HILO:
+                # three bf16 passes with f32 accumulation: hi*hi + hi*lo +
+                # lo*hi (lo*lo dropped — covered by ALPHA_HILO); bf16 products
+                # of bf16 operands are exact in f32
+                sh = sp.astype(jnp.bfloat16)
+                sl = (sp - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+                th_ = tp.astype(jnp.bfloat16)
+                tl_ = (tp - th_.astype(jnp.float32)).astype(jnp.bfloat16)
+                dn = (((1,), (0,)), ((), ()))
+                cross = (jax.lax.dot_general(
+                             sh, th_, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                             sh, tl_, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                             sl, th_, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32))
+            else:
+                cross = jax.lax.dot_general(
+                    sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             # sn is constant per row: left out of the (B, T) pass (it shifts
             # every candidate equally, so the argmin is unchanged), added back
             # after the reductions
@@ -197,25 +232,33 @@ def _kernel_body(t, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
                          keepdims=True)
             finite = td < jnp.float32(3e38)
             take = (td < bd[...]) | ((td == bd[...]) & finite & (ti < bi[...]))
-            # sound per-candidate lower bound: subtract alpha*tpn here (tpn,
-            # not tn: inf - inf*alpha would be NaN on invalid columns);
-            # alpha*sn is folded in after the loop
-            tl = jnp.min(d2 - ALPHA * tpn, axis=1, keepdims=True)
+            # sound per-TILE lower bound: true min d2 over the tile's valid
+            # points >= td - alpha*max(tpn) (each candidate's computed d2 is
+            # within alpha*its tpn of truth; the max costs (1,T) + (B,1) ops
+            # instead of the old per-candidate (B,T) subtract + min — two
+            # full-size VPU passes saved per surviving tile).  alpha*sn is
+            # folded in after the loop.
+            maxtpn = jnp.max(jnp.where(tn_raw < jnp.float32(3e38), tpn, 0.0))
+            tl = td - alpha * maxtpn
             bi[...] = jnp.where(take, ti, bi[...])
             bd[...] = jnp.where(take, td, bd[...])
             bl[...] = jnp.minimum(bl[...], tl)
-            bmax[0, 0] = jnp.max(bd[...] + sn)
+            bmax[0, 0] = jnp.minimum(jnp.max(bd[...] + sn), cap2)
         return 0
 
     jax.lax.fori_loop(0, m_tiles, tile_step, 0)
     best_i = bi[...]
     di_ref[...] = jnp.where(best_i == _BIG_I, 0, best_i)
     dd_ref[...] = jnp.maximum(bd[...] + sn, 0.0)
-    dl_ref[...] = jnp.maximum(bl[...] + (1.0 - ALPHA) * sn - ALPHA, 0.0)
+    # capped rows (no candidate, or candidates above cap2): every skipped tile
+    # lies above min(bmax, cap2), so cap2 itself is a sound bound there
+    dl_ref[...] = jnp.maximum(
+        jnp.minimum(bl[...] + (1.0 - alpha) * sn - alpha, cap2), 0.0)
 
 
 def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
-                             n_active: jnp.ndarray | None = None
+                             n_active: jnp.ndarray | None = None,
+                             cap2: jnp.ndarray | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN of each ``src`` row among the index's valid targets.
 
@@ -226,6 +269,16 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     ``n_active`` (scalar int32): only the first ``n_active`` source rows are
     queried; whole source blocks past it skip the sweep (idx=0 / +inf out).
+
+    ``cap2`` (scalar float32, default +inf = exact sweep): search cap on
+    squared distance.  Rows whose true NN d2 is below ``cap2`` get exactly the
+    uncapped result (same winner, same tie-breaking); other rows may return
+    any candidate (or idx=0 / +inf) with d2 >= cap2, and the returned lower
+    bound stays sound (true d2 >= bound, with bound <= cap2).  Tiles provably
+    farther than ``cap2`` from the whole block are skipped even before every
+    row has a candidate — the incremental-ICP sweep (ops/icp.py) only needs
+    exact NNs inside the correspondence gate, so it caps the search a safety
+    margin above it.
     """
     n = src.shape[0]
     np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
@@ -233,6 +286,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
     m_tiles = index.packed.shape[0]
     if n_active is None:
         n_active = jnp.int32(n)
+    if cap2 is None:
+        cap2 = jnp.float32(jnp.inf)
 
     srcf = src.astype(jnp.float32)
     # pad rows with the last row's coords (zeros would drag block bounding
@@ -266,6 +321,7 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
         interpret=jax.default_backend() == "cpu",
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) n_active
+                  pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) cap2
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lb2 rows
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # tile order
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # (m_tiles, 8, T)
@@ -295,7 +351,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
             pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.int32),    # order row
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(jnp.asarray(n_active, jnp.int32).reshape(1), lb2[:, None, :],
+    )(jnp.asarray(n_active, jnp.int32).reshape(1),
+      jnp.asarray(cap2, jnp.float32).reshape(1), lb2[:, None, :],
       torder[:, None, :],
       index.packed, index.tn, index.tidx, srcf,
       jnp.broadcast_to(centp[:, None, :], (n_blocks, 8, 8)),

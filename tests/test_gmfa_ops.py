@@ -237,6 +237,95 @@ def test_transform_points():
     np.testing.assert_allclose(got, pts @ t[:3, :3].T + t[:3, 3], rtol=1e-5, atol=1e-5)
 
 
+def test_capped_sweep_dichotomy():
+    """Capped-search contract of the NN kernel (VERDICT r2 item 3): every row
+    either matches the uncapped sweep exactly (when its true NN d2 < cap2) or
+    certifies d2 >= cap2; the lower bound stays sound and <= the returned d2."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    rng = np.random.default_rng(13)
+    src = rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32)
+    tgt = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    mask = np.ones(4096, bool)
+    mask[4000:] = False
+    index = nn_pallas.build_target_index(jnp.asarray(tgt), jnp.asarray(mask))
+    order = np.asarray(jnp.argsort(nn_pallas._morton_keys(jnp.asarray(src)),
+                                   stable=True))
+    src_s = jnp.asarray(src[order])
+    i0, d0, l0 = map(np.asarray, nn_pallas.nearest_neighbors_pallas(src_s, index))
+    dist, _ = cKDTree(tgt[:4000]).query(src[order], k=1)
+    true_d2 = (dist * dist).astype(np.float32)
+    for cap in (0.5, 2.0, 8.0):
+        cap2 = np.float32(cap * cap)
+        ic, dc, lc = map(np.asarray, nn_pallas.nearest_neighbors_pallas(
+            src_s, index, cap2=jnp.float32(cap2)))
+        below = d0 < cap2 * (1.0 - 1e-4)  # clear of the cap's own f32 edge
+        np.testing.assert_array_equal(ic[below], i0[below])
+        np.testing.assert_allclose(dc[below], d0[below], rtol=3e-5, atol=1e-7)
+        # capped rows certify they are at/above the cap
+        assert (dc[~below] >= cap2 * (1.0 - 1e-4)).all()
+        # the bound stays sound vs the f64 KDTree truth, and never exceeds cap2
+        assert (lc <= true_d2 + 1e-5 * (1.0 + true_d2)).all()
+        assert (lc <= cap2 + 1e-6).all()
+
+
+def test_icp_capped_matches_uncapped():
+    """The capped correspondence search is bit-equivalent ICP: correspondences
+    always get exact NNs, non-correspondences contribute exactly zero, so the
+    transform/fitness/rmse/iteration sequence matches search_cap=inf."""
+    rng = np.random.default_rng(17)
+    cloud = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    true = _rigid(0.015, [0.08, -0.04, 0.02])
+    target = (cloud @ true[:3, :3].T + true[:3, 3]
+              + rng.normal(scale=0.01, size=cloud.shape)).astype(np.float32)
+    pad = 4096
+    src = np.full((pad, 3), 1e9, np.float32)
+    src[:3000] = cloud
+    dst = np.full((pad, 3), 1e9, np.float32)
+    dst[:3000] = target
+    m = np.zeros(pad, bool)
+    m[:3000] = True
+    for thr in (0.02, 0.3):
+        ref = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True,
+                               search_cap=float("inf"))
+        got = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True)
+        assert int(ref.iterations) == int(got.iterations)
+        np.testing.assert_allclose(np.asarray(ref.transformation),
+                                   np.asarray(got.transformation),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref.fitness),
+                                   np.asarray(got.fitness), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
+                                   np.asarray(got.inlier_rmse), rtol=1e-5)
+
+
+def test_nn_hilo_flag_parity(monkeypatch):
+    """The bf16 hi/lo cross-term option: KDTree index parity on generic clouds
+    and a sound lower bound (envelope widened to ALPHA_HILO)."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    monkeypatch.setattr(nn_pallas, "USE_HILO", True)
+    rng = np.random.default_rng(23)
+    src = rng.uniform(-20, 20, size=(1500, 3)).astype(np.float32)
+    tgt = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    mask = np.ones(4096, bool)
+    idx, d2 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
+                                jnp.asarray(mask))
+    dist, kidx = cKDTree(tgt).query(src, k=1)
+    np.testing.assert_array_equal(np.asarray(idx), kidx)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), dist, rtol=1e-4,
+                               atol=1e-4)
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_with_bound
+
+    _, d2b, lob = nearest_neighbors_with_bound(jnp.asarray(src), jnp.asarray(tgt),
+                                               jnp.asarray(mask))
+    lob, d2b = np.asarray(lob), np.asarray(d2b)
+    true_d2 = (dist * dist).astype(np.float32)
+    assert (lob <= true_d2 + 1e-6 * (1.0 + true_d2)).all()
+
+
 # ------------------------------------------------------------------ Hungarian
 
 @pytest.mark.parametrize("seed,n", [(0, 4), (1, 8), (2, 16), (3, 32)])
