@@ -36,7 +36,7 @@ from datmo_using_optical_flow_tpu.ops import points as point_ops
 from datmo_using_optical_flow_tpu.ops.dbscan import dbscan
 from datmo_using_optical_flow_tpu.ops.hungarian import linear_sum_assignment
 from datmo_using_optical_flow_tpu.ops.icp import registration_icp, transform_points
-from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors
+from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_with_bound
 from datmo_using_optical_flow_tpu.ops.ransac import remove_ground
 from datmo_using_optical_flow_tpu.ops.som import update_som
 from datmo_using_optical_flow_tpu.utils.padding import compact_masked
@@ -346,12 +346,23 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
                            c.icp.relative_fitness, c.icp.relative_rmse)
     prev_t = transform_points(carry.prev_points, icp.transformation)
 
-    # 2. residuals: index-wise when sizes match, NN-aligned otherwise (GMFA.py:79-91)
-    idx, _ = nearest_neighbors(points, prev_t, carry.prev_mask)
+    # 2. residuals: index-wise when sizes match, NN-aligned otherwise (GMFA.py:79-91).
+    # Capped sweep: every residual consumer thresholds at static/moving
+    # (classification here, SOM increments in ops/som.py), so the NN search
+    # stops certifying beyond 2x moving_threshold — points provably farther
+    # keep label 2 (moving) with residual := the cap (or the capped
+    # candidate's true distance, whichever the sweep found); all decisions
+    # are identical to the exact sweep, at a fraction of the tile visits.
+    cls_cap = 2.0 * jnp.float32(c.moving_threshold)
+    idx, d2s, _ = nearest_neighbors_with_bound(points, prev_t, carry.prev_mask,
+                                               cap2=cls_cap * cls_cap)
     aligned = prev_t[idx]
     same_size = n_cur == n_prev
     ref_pts = jnp.where(same_size, prev_t, aligned)
     residuals = jnp.linalg.norm(points - ref_pts, axis=1)
+    # rows the capped sweep returned no candidate for are certified farther
+    # than the cap; index 0 would otherwise alias an arbitrary point
+    residuals = jnp.where(same_size | jnp.isfinite(d2s), residuals, cls_cap)
     residuals = jnp.where(mask, residuals, 0.0)
 
     # 3. classification 3/2/1 (GMFA.py:127-130); 0 marks padding

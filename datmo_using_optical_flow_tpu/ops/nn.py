@@ -39,11 +39,18 @@ def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
 
 @partial(jax.jit, static_argnames=())
 def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
-                                 tgt_mask: jnp.ndarray
+                                 tgt_mask: jnp.ndarray, cap2=None
                                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """:func:`nearest_neighbors` plus a SOUND lower bound on the true min d2
     per row (true NN d2 >= bound; equality-tight up to the kernel's per-tile
-    error envelope).  The incremental-ICP shell (ops/icp.py) builds on it."""
+    error envelope).  The incremental-ICP shell (ops/icp.py) builds on it.
+
+    ``cap2``: optional squared search cap (Pallas path only — the scan
+    fallback stays exact, a valid instance of the capped contract): rows whose
+    true NN d2 < cap2 are exact; other rows return a candidate (or idx 0 /
+    d2 +inf) with d2 >= cap2.  Callers that only threshold the distance below
+    ``sqrt(cap2)`` (GMFA's residual classifier) get identical decisions for a
+    fraction of the sweep cost."""
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
     if nn_pallas.eligible(tgt.shape[0]):
@@ -51,7 +58,7 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
         index = nn_pallas.build_target_index(tgt, tgt_mask)
         order = jnp.argsort(nn_pallas._morton_keys(src), stable=True)
         idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
-            src[order], index)
+            src[order], index, cap2=cap2)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
         idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
