@@ -26,7 +26,7 @@ import numpy as np
 
 from datmo_using_optical_flow_tpu.ops.nn import (
     nearest_neighbors, nearest_neighbors_active,
-    nearest_neighbors_active_presorted)
+    nearest_neighbors_active_inplace)
 
 
 class IcpResult(NamedTuple):
@@ -92,9 +92,11 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
         need = smask & ~excluded
         if tgt_index is not None:
-            # the caller permuted the source by Morton rank once; only a
-            # cumsum partition is needed per iteration
-            idx_new, _, lo_q = nearest_neighbors_active_presorted(
+            # the caller permuted the source by Morton rank once; excluded
+            # rows cluster into whole blocks in that order, so the kernel
+            # skips them IN PLACE (per-block active counts) — no per-iteration
+            # compaction permutation or gathers
+            idx_new, _, lo_q = nearest_neighbors_active_inplace(
                 pts, tgtf, tmask, need, tgt_index, cap2=cap2)
         else:
             idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need,

@@ -194,6 +194,49 @@ def nearest_neighbors_active_presorted(src: jnp.ndarray, tgt: jnp.ndarray,
             jnp.where(active, lo, jnp.inf))
 
 
+def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
+                                     tgt_mask: jnp.ndarray,
+                                     active: jnp.ndarray, index, cap2=None
+                                     ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
+    """Subset 1-NN with NO row movement: ``src`` must already be spatially
+    coherent (Morton order — incremental ICP permutes its cloud once, outside
+    the while_loop), and rows stay in place.  The kernel skips whole blocks
+    whose per-block active count is zero; because the incremental shell's
+    exclusion is spatially coherent, inactive rows cluster into whole blocks
+    in Morton order and per-block skipping captures most of the compaction
+    win without the per-iteration cumsum + four full-cloud gathers that
+    :func:`nearest_neighbors_active_presorted` pays.  Active rows inside
+    mixed blocks are computed exactly; inactive rows return idx=0 / +inf
+    (their in-block sweep results are discarded)."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    n = src.shape[0]
+    b = nn_pallas._SRC_BLOCK
+    npad = -(-n // b) * b
+    actp = jnp.pad(active, (0, npad - n))
+    counts = jnp.sum(actp.astype(jnp.int32).reshape(-1, b), axis=1)
+    # rewrite inactive rows to their block's FIRST row's coordinates: their
+    # results are discarded anyway, and this keeps mixed blocks' bounding
+    # balls tight — excluded or invalid (padded 1e9-coord) rows would
+    # otherwise inflate the ball and defeat the tile pruning.  Sound: the
+    # rows whose results are kept are unmodified and inside the ball.
+    srcp = jnp.pad(src.astype(jnp.float32), ((0, npad - n), (0, 0)),
+                   mode="edge")
+    first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :], (npad // b, b, 3))
+    src_clean = jnp.where(actp[:, None], srcp,
+                          first.reshape(npad, 3))
+    idx, d2, lo = nn_pallas.nearest_neighbors_pallas(src_clean[:n], index,
+                                                     cap2=cap2,
+                                                     block_counts=counts)
+    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+    exact = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
+    lo = jnp.minimum(lo, d2)
+    return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
+            jnp.where(active, lo, jnp.inf))
+
+
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,
                      ref_mask: jnp.ndarray) -> jnp.ndarray:
     """Replace each point by its nearest valid reference point

@@ -138,10 +138,13 @@ def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
             bd, bi, bl, bmax, lb_s, to_s, sems, *, m_tiles: int):
     t = pl.program_id(0)
 
-    # blocks whose every source row is inactive (row index >= na_ref[0]) skip
-    # the target sweep entirely: the per-iteration cost of the incremental-ICP
-    # path (ops/icp.py) scales with the number of re-queried points, not N
-    @pl.when(t * _SRC_BLOCK < na_ref[0])
+    # blocks with no active source row (na_ref[t] == 0) skip the target sweep
+    # entirely: the per-iteration cost of the incremental-ICP path (ops/icp.py)
+    # scales with the number of re-queried points, not N.  The count is
+    # per-block so callers can skip blocks either by compaction (active rows
+    # partitioned to the front) or in place (exclusion is spatially coherent
+    # in Morton order, so inactive rows cluster into whole blocks).
+    @pl.when(na_ref[t] > 0)
     def _():
         # the (n_blocks, m_tiles) pruning tables live in HBM (too large for
         # SMEM whole); each block DMAs its own row into scalar memory
@@ -155,7 +158,7 @@ def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
                      cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
                      bd, bi, bl, bmax, m_tiles=m_tiles)
 
-    @pl.when(t * _SRC_BLOCK >= na_ref[0])
+    @pl.when(na_ref[t] == 0)
     def _():
         di_ref[...] = jnp.zeros_like(di_ref)
         dd_ref[...] = jnp.full_like(dd_ref, jnp.inf)
@@ -183,70 +186,72 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
     # recovers the exact-NN sweep bit-for-bit.
     bmax[0, 0] = cap2                       # max over rows of absolute best d2
 
-    def tile_step(j, _):
+    def tile_cond(j):
+        # bounding-ball skip: no point of a tile with lb > bmax can beat the
+        # block's current worst row (or the search cap).  lb_ref is sorted
+        # ascending and bmax only decreases, so the FIRST failing tile ends
+        # the block exactly — a while-break instead of m_tiles scalar loop
+        # iterations (the dominant per-block cost once the cap prunes the
+        # sweep to a handful of tiles).
+        return (j < m_tiles) & (lb_ref[0, j] <= bmax[0, 0])
+
+    def tile_step(j):
         jt = j0_ref[0, j]                   # tiles in ascending-lb order
+        tile = tgt_ref[jt]                  # (8, T): lane dim = points
+        tn_raw = tn_ref[jt]                 # (1, T) +inf where invalid
+        tidx = tidx_ref[jt]                 # (1, T) original indices
+        tp = tile - cent_col                # (8, T) recentered targets
+        tpn = jnp.sum(tp * tp, axis=0, keepdims=True)   # (1, T) exact-ish
+        tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
+        if USE_HILO:
+            # three bf16 passes with f32 accumulation: hi*hi + hi*lo +
+            # lo*hi (lo*lo dropped — covered by ALPHA_HILO); bf16 products
+            # of bf16 operands are exact in f32
+            sh = sp.astype(jnp.bfloat16)
+            sl = (sp - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+            th_ = tp.astype(jnp.bfloat16)
+            tl_ = (tp - th_.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            cross = (jax.lax.dot_general(
+                         sh, th_, dimension_numbers=dn,
+                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                         sh, tl_, dimension_numbers=dn,
+                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                         sl, th_, dimension_numbers=dn,
+                         preferred_element_type=jnp.float32))
+        else:
+            cross = jax.lax.dot_general(
+                sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # sn is constant per row: left out of the (B, T) pass (it shifts
+        # every candidate equally, so the argmin is unchanged), added back
+        # after the reductions
+        d2 = tn - 2.0 * cross               # (B, T)
+        td = jnp.min(d2, axis=1, keepdims=True)
+        # lowest ORIGINAL index among the minima (== first-min over the
+        # unsorted target order: d2 values do not depend on tile
+        # membership, so sorting cannot change which candidates tie)
+        ti = jnp.min(jnp.where(d2 == td, tidx, _BIG_I), axis=1,
+                     keepdims=True)
+        finite = td < jnp.float32(3e38)
+        take = (td < bd[...]) | ((td == bd[...]) & finite & (ti < bi[...]))
+        # sound per-TILE lower bound: true min d2 over the tile's valid
+        # points >= td - alpha*max(tpn) (each candidate's computed d2 is
+        # within alpha*its tpn of truth; the max costs (1,T) + (B,1) ops
+        # instead of the old per-candidate (B,T) subtract + min — two
+        # full-size VPU passes saved per surviving tile).  alpha*sn is
+        # folded in after the loop.
+        maxtpn = jnp.max(jnp.where(tn_raw < jnp.float32(3e38), tpn, 0.0))
+        tl = td - alpha * maxtpn
+        bi[...] = jnp.where(take, ti, bi[...])
+        bd[...] = jnp.where(take, td, bd[...])
+        bl[...] = jnp.minimum(bl[...], tl)
+        bmax[0, 0] = jnp.minimum(jnp.max(bd[...] + sn), cap2)
+        return j + 1
 
-        # bounding-ball skip: no point of this tile can beat the block's
-        # current worst row (or the search cap).  lb_ref is sorted ascending,
-        # so once this fails it fails for every later j — the loop degenerates
-        # to a scalar test per remaining tile
-        @pl.when(lb_ref[0, j] <= bmax[0, 0])
-        def _():
-            tile = tgt_ref[jt]              # (8, T): lane dim = points
-            tn_raw = tn_ref[jt]             # (1, T) +inf where invalid
-            tidx = tidx_ref[jt]             # (1, T) original indices
-            tp = tile - cent_col            # (8, T) recentered targets
-            tpn = jnp.sum(tp * tp, axis=0, keepdims=True)   # (1, T) exact-ish
-            tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
-            if USE_HILO:
-                # three bf16 passes with f32 accumulation: hi*hi + hi*lo +
-                # lo*hi (lo*lo dropped — covered by ALPHA_HILO); bf16 products
-                # of bf16 operands are exact in f32
-                sh = sp.astype(jnp.bfloat16)
-                sl = (sp - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-                th_ = tp.astype(jnp.bfloat16)
-                tl_ = (tp - th_.astype(jnp.float32)).astype(jnp.bfloat16)
-                dn = (((1,), (0,)), ((), ()))
-                cross = (jax.lax.dot_general(
-                             sh, th_, dimension_numbers=dn,
-                             preferred_element_type=jnp.float32)
-                         + jax.lax.dot_general(
-                             sh, tl_, dimension_numbers=dn,
-                             preferred_element_type=jnp.float32)
-                         + jax.lax.dot_general(
-                             sl, th_, dimension_numbers=dn,
-                             preferred_element_type=jnp.float32))
-            else:
-                cross = jax.lax.dot_general(
-                    sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            # sn is constant per row: left out of the (B, T) pass (it shifts
-            # every candidate equally, so the argmin is unchanged), added back
-            # after the reductions
-            d2 = tn - 2.0 * cross           # (B, T)
-            td = jnp.min(d2, axis=1, keepdims=True)
-            # lowest ORIGINAL index among the minima (== first-min over the
-            # unsorted target order: d2 values do not depend on tile
-            # membership, so sorting cannot change which candidates tie)
-            ti = jnp.min(jnp.where(d2 == td, tidx, _BIG_I), axis=1,
-                         keepdims=True)
-            finite = td < jnp.float32(3e38)
-            take = (td < bd[...]) | ((td == bd[...]) & finite & (ti < bi[...]))
-            # sound per-TILE lower bound: true min d2 over the tile's valid
-            # points >= td - alpha*max(tpn) (each candidate's computed d2 is
-            # within alpha*its tpn of truth; the max costs (1,T) + (B,1) ops
-            # instead of the old per-candidate (B,T) subtract + min — two
-            # full-size VPU passes saved per surviving tile).  alpha*sn is
-            # folded in after the loop.
-            maxtpn = jnp.max(jnp.where(tn_raw < jnp.float32(3e38), tpn, 0.0))
-            tl = td - alpha * maxtpn
-            bi[...] = jnp.where(take, ti, bi[...])
-            bd[...] = jnp.where(take, td, bd[...])
-            bl[...] = jnp.minimum(bl[...], tl)
-            bmax[0, 0] = jnp.minimum(jnp.max(bd[...] + sn), cap2)
-        return 0
-
-    jax.lax.fori_loop(0, m_tiles, tile_step, 0)
+    jax.lax.while_loop(tile_cond, tile_step, jnp.int32(0))
     best_i = bi[...]
     di_ref[...] = jnp.where(best_i == _BIG_I, 0, best_i)
     dd_ref[...] = jnp.maximum(bd[...] + sn, 0.0)
@@ -258,7 +263,8 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
 
 def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                              n_active: jnp.ndarray | None = None,
-                             cap2: jnp.ndarray | None = None
+                             cap2: jnp.ndarray | None = None,
+                             block_counts: jnp.ndarray | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """1-NN of each ``src`` row among the index's valid targets.
 
@@ -269,6 +275,14 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     ``n_active`` (scalar int32): only the first ``n_active`` source rows are
     queried; whole source blocks past it skip the sweep (idx=0 / +inf out).
+
+    ``block_counts`` ((n_blocks,) int32, overrides ``n_active``): per-block
+    active-row counts for IN-PLACE subset queries — rows stay where they are
+    and whole blocks with count 0 skip the sweep (garbage idx=0 / +inf out for
+    their rows).  Exclusion in the incremental-ICP shell is spatially
+    coherent, so in Morton order inactive rows cluster into whole blocks and
+    the compaction permutation (cumsum + 4 full-cloud gathers per iteration)
+    can be dropped entirely (:func:`ops.nn.nearest_neighbors_active_inplace`).
 
     ``cap2`` (scalar float32, default +inf = exact sweep): search cap on
     squared distance.  Rows whose true NN d2 is below ``cap2`` get exactly the
@@ -288,6 +302,11 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
         n_active = jnp.int32(n)
     if cap2 is None:
         cap2 = jnp.float32(jnp.inf)
+    if block_counts is None:
+        block_counts = jnp.clip(
+            jnp.asarray(n_active, jnp.int32)
+            - jnp.arange(n_blocks, dtype=jnp.int32) * _SRC_BLOCK,
+            0, _SRC_BLOCK)
 
     srcf = src.astype(jnp.float32)
     # pad rows with the last row's coords (zeros would drag block bounding
@@ -351,7 +370,7 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
             pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.int32),    # order row
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(jnp.asarray(n_active, jnp.int32).reshape(1),
+    )(jnp.asarray(block_counts, jnp.int32).reshape(n_blocks),
       jnp.asarray(cap2, jnp.float32).reshape(1), lb2[:, None, :],
       torder[:, None, :],
       index.packed, index.tn, index.tidx, srcf,

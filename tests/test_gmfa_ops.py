@@ -237,6 +237,39 @@ def test_transform_points():
     np.testing.assert_allclose(got, pts @ t[:3, :3].T + t[:3, 3], rtol=1e-5, atol=1e-5)
 
 
+def test_nearest_neighbors_active_inplace_matches_full():
+    """The no-compaction subset query (per-block skipping in Morton order)
+    matches the full sweep on active rows, idx=0/+inf on inactive ones, and
+    tolerates invalid 1e9-coord rows inside mixed blocks."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_active_inplace
+
+    rng = np.random.default_rng(29)
+    n = 1024
+    src = rng.uniform(-15, 15, size=(n, 3)).astype(np.float32)
+    src[990:] = 1e9  # invalid padding rows (sort last in Morton order)
+    tgt = rng.uniform(-15, 15, size=(4096, 3)).astype(np.float32)
+    mask = np.ones(4096, bool)
+    index = nn_pallas.build_target_index(jnp.asarray(tgt), jnp.asarray(mask))
+    order = np.asarray(jnp.argsort(nn_pallas._morton_keys(jnp.asarray(src)),
+                                   stable=True))
+    src_s = src[order]
+    valid_s = (np.abs(src_s) < 1e8).all(axis=1)
+    i0, _, _ = map(np.asarray,
+                   nn_pallas.nearest_neighbors_pallas(jnp.asarray(src_s), index))
+    # the wrapper recomputes d2 by direct subtraction at the winner
+    d0 = ((src_s - tgt[i0]) ** 2).sum(axis=1)
+    for frac in (0.0, 0.4, 1.0):
+        active = valid_s & (rng.uniform(size=n) < frac)
+        ia, da, la = map(np.asarray, nearest_neighbors_active_inplace(
+            jnp.asarray(src_s), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(active), index))
+        np.testing.assert_array_equal(ia[active], i0[active])
+        np.testing.assert_allclose(da[active], d0[active], rtol=3e-5, atol=1e-7)
+        assert (la[active] <= da[active] + 1e-7).all()
+        assert (ia[~active] == 0).all() and np.isinf(da[~active]).all()
+
+
 def test_capped_sweep_dichotomy():
     """Capped-search contract of the NN kernel (VERDICT r2 item 3): every row
     either matches the uncapped sweep exactly (when its true NN d2 < cap2) or
