@@ -141,6 +141,32 @@ def main() -> None:
     timeit(jax.jit(lambda p, m: dbscan(p, m, cfg.dbscan.eps, cfg.dbscan.min_samples)[0]),
            mpts, cur_m[:16384], label="DBSCAN 16384 cap (min_samples=1000)")
 
+    # the tail stages (the ~50 ms "rest" of the r2 breakdown)
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+    from datmo_using_optical_flow_tpu.ops.hungarian import linear_sum_assignment
+    from datmo_using_optical_flow_tpu.ops.som import update_som
+    from datmo_using_optical_flow_tpu.utils.padding import compact_masked
+
+    timeit(jax.jit(nn_pallas.build_target_index), cur, cur_m,
+           label="build_target_index (sort + layout)")
+    timeit(jax.jit(nn_pallas.sort_order), cur, cur_m,
+           label="sort_order (morton argsort)")
+    moving_mask = cur_m & (cur[:, 2] > 0.4)
+    timeit(jax.jit(lambda p, m: compact_masked(p, m, 16384)[0]), cur, moving_mask,
+           label="compact_masked 131k->16384")
+    rngc = np.random.default_rng(5)
+    cost = jnp.asarray(rngc.uniform(0, 2, size=(64, 32)).astype(np.float32))
+    timeit(jax.jit(lambda c: linear_sum_assignment(
+        c, row_mask=jnp.ones(64, bool), col_mask=jnp.ones(32, bool))[0]),
+           cost, label="Hungarian 64x32")
+    som0 = jnp.full((cfg.som.grid_size,) * 2, cfg.som.init_value, jnp.float32)
+    res0 = jnp.abs(cur[:16384, 2])
+    timeit(jax.jit(lambda s, p, m, r: update_som(
+        s, p, m, r, cfg.static_threshold, cfg.moving_threshold,
+        cfg.som.cell_resolution, cfg.som.static_increment,
+        cfg.som.moving_decrement, cfg.som.max_value, cfg.som.min_value)),
+           som0, mpts, cur_m[:16384], res0, label="SOM update 16384")
+
     print(json.dumps({
         "metric": "gmfa_fps_reference_load",
         "value": round(fps, 3),

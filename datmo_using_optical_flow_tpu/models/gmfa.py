@@ -69,6 +69,12 @@ class GmfaCarry(NamedTuple):
     som: jnp.ndarray             # (G, G)
     prev_centroids: jnp.ndarray  # (K, 2) previous frame's cluster centroids
     prev_exists: jnp.ndarray     # (K,)
+    # (P,) int32 spatial (Morton) order of prev_points, computed when that
+    # cloud was current and reused by ICP's source permutation and the
+    # classification sweep's target index (rigid motion preserves spatial
+    # coherence; results are permutation-independent, only pruning tightness
+    # varies — an arange placeholder is functionally valid)
+    prev_order: jnp.ndarray
 
 
 class GmfaOutputs(NamedTuple):
@@ -111,6 +117,7 @@ class GMFAPipeline:
             som=jnp.full((g, g), c.som.init_value, jnp.float32),
             prev_centroids=jnp.zeros((c.capacities.max_clusters, 2), jnp.float32),
             prev_exists=jnp.zeros((c.capacities.max_clusters,), bool),
+            prev_order=jnp.arange(p, dtype=jnp.int32),
         )
 
     def step(self, points: jnp.ndarray, mask: jnp.ndarray, carry: GmfaCarry,
@@ -340,10 +347,25 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     n_cur = jnp.sum(mask.astype(jnp.int32))
     n_prev = jnp.sum(carry.prev_mask.astype(jnp.int32))
 
+    # One spatial (Morton) sort of the NEW cloud per frame, shared by: the
+    # ICP target index (this frame), the classification sweep's source order
+    # (this frame), and — carried — the ICP source order and classification
+    # target order of the NEXT frame.  Rigid motion preserves coherence, so
+    # the carried order stays pruning-tight for the transformed cloud.
+    from datmo_using_optical_flow_tpu.ops import icp as icp_mod
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+    share = nn_pallas.eligible(points.shape[0])
+    cur_order = nn_pallas.sort_order(points, mask) if share else None
+    icp_share = share and points.shape[0] >= icp_mod._CACHED_MIN
+    cur_index = (nn_pallas.build_target_index(points, mask, order=cur_order)
+                 if icp_share else None)
+
     # 1. ICP ego-motion: previous -> current (GMFA.py:465)
     icp = registration_icp(carry.prev_points, carry.prev_mask, points, mask,
                            c.icp.threshold, c.icp.max_iterations,
-                           c.icp.relative_fitness, c.icp.relative_rmse)
+                           c.icp.relative_fitness, c.icp.relative_rmse,
+                           tgt_index=cur_index,
+                           src_order=carry.prev_order if icp_share else None)
     prev_t = transform_points(carry.prev_points, icp.transformation)
 
     # 2. residuals: index-wise when sizes match, NN-aligned otherwise (GMFA.py:79-91).
@@ -354,8 +376,9 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     # candidate's true distance, whichever the sweep found); all decisions
     # are identical to the exact sweep, at a fraction of the tile visits.
     cls_cap = 2.0 * jnp.float32(c.moving_threshold)
-    idx, d2s, _ = nearest_neighbors_with_bound(points, prev_t, carry.prev_mask,
-                                               cap2=cls_cap * cls_cap)
+    idx, d2s, _ = nearest_neighbors_with_bound(
+        points, prev_t, carry.prev_mask, cap2=cls_cap * cls_cap,
+        tgt_order=carry.prev_order if share else None, src_order=cur_order)
     aligned = prev_t[idx]
     same_size = n_cur == n_prev
     ref_pts = jnp.where(same_size, prev_t, aligned)
@@ -475,7 +498,9 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     # previous cloud — so the host runner can always adopt the returned carry
     # (which in turn makes carry donation safe).
     advanced = GmfaCarry(prev_points=points, prev_mask=mask, table=table, som=som,
-                         prev_centroids=prev_centroids, prev_exists=prev_exists)
+                         prev_centroids=prev_centroids, prev_exists=prev_exists,
+                         prev_order=(cur_order if cur_order is not None
+                                     else carry.prev_order))
     new_carry = jax.tree.map(lambda new, old: jnp.where(skip, old, new),
                              advanced, carry)
     outputs = GmfaOutputs(skip=skip, classifications=cls, residuals=residuals,

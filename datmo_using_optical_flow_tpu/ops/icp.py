@@ -160,7 +160,8 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                      relative_rmse: float = 1e-6,
                      cached: bool | None = None,
                      coarse_stride: int | None = None,
-                     search_cap: float | None = None) -> IcpResult:
+                     search_cap: float | None = None,
+                     tgt_index=None, src_order=None) -> IcpResult:
     """ICP with identity init (the reference always passes I, GMFA.py:302).
 
     ``cached`` (default: on for targets >= 32k points) enables incremental
@@ -196,6 +197,13 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     The margin above ``threshold`` keeps capped rows excluded for
     ~(cap - threshold)/per-iteration-displacement iterations before they are
     re-queried.  Set to ``float('inf')`` to disable.
+
+    ``tgt_index`` / ``src_order``: optional prebuilt target index
+    (``ops.nn_pallas.build_target_index``) and source spatial order
+    (``ops.nn_pallas.sort_order``) for the cached path — GMFA computes one
+    order per cloud per frame and shares it across ICP, the classification
+    sweep, and the next frame (a rigid transform preserves spatial
+    coherence, and the results are permutation-independent).
     """
     srcf = source.astype(jnp.float32)
     tgtf = target.astype(jnp.float32)
@@ -215,19 +223,24 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
         cap = jnp.maximum(cap, jnp.asarray(threshold, jnp.float32))
     cap2 = None if cap is None else cap * cap        # never cap inside the gate
 
-    tgt_index = None
     if cached:
         from datmo_using_optical_flow_tpu.ops import nn_pallas
         if nn_pallas.eligible(target.shape[0]):
             # built once; every incremental re-query reuses it
-            tgt_index = nn_pallas.build_target_index(tgtf, target_mask)
+            if tgt_index is None:
+                tgt_index = nn_pallas.build_target_index(tgtf, target_mask)
             # run the whole loop in Morton-permuted source space: fitness,
             # rmse, and Kabsch are permutation-invariant reductions, and
-            # per-iteration re-queries then need only a cumsum partition
-            # instead of an argsort
-            morder = jnp.argsort(nn_pallas._morton_keys(srcf), stable=True)
+            # per-iteration re-queries then skip whole inactive blocks in
+            # place
+            morder = (jnp.argsort(nn_pallas._morton_keys(srcf), stable=True)
+                      if src_order is None else src_order)
             srcf = srcf[morder]
             smask = smask[morder]
+        else:
+            tgt_index = None
+    else:
+        tgt_index = None
 
     t0 = jnp.eye(4)
     it_c = jnp.asarray(0)

@@ -39,7 +39,8 @@ def nearest_neighbors(src: jnp.ndarray, tgt: jnp.ndarray, tgt_mask: jnp.ndarray
 
 @partial(jax.jit, static_argnames=())
 def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
-                                 tgt_mask: jnp.ndarray, cap2=None
+                                 tgt_mask: jnp.ndarray, cap2=None,
+                                 tgt_order=None, src_order=None
                                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """:func:`nearest_neighbors` plus a SOUND lower bound on the true min d2
     per row (true NN d2 >= bound; equality-tight up to the kernel's per-tile
@@ -50,13 +51,19 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
     true NN d2 < cap2 are exact; other rows return a candidate (or idx 0 /
     d2 +inf) with d2 >= cap2.  Callers that only threshold the distance below
     ``sqrt(cap2)`` (GMFA's residual classifier) get identical decisions for a
-    fraction of the sweep cost."""
+    fraction of the sweep cost.
+
+    ``tgt_order`` / ``src_order``: optional precomputed spatial permutations
+    (see :func:`ops.nn_pallas.sort_order`) — one Morton argsort per cloud per
+    frame instead of one per query; results are identical for any
+    permutation, only pruning tightness varies."""
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
     if nn_pallas.eligible(tgt.shape[0]):
         n = src.shape[0]
-        index = nn_pallas.build_target_index(tgt, tgt_mask)
-        order = jnp.argsort(nn_pallas._morton_keys(src), stable=True)
+        index = nn_pallas.build_target_index(tgt, tgt_mask, order=tgt_order)
+        order = (jnp.argsort(nn_pallas._morton_keys(src), stable=True)
+                 if src_order is None else src_order)
         idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
             src[order], index, cap2=cap2)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(

@@ -93,15 +93,34 @@ def _morton_keys(p: jnp.ndarray) -> jnp.ndarray:
     return key
 
 
-def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray) -> TargetIndex:
+def sort_order(pts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Morton order of a masked cloud (invalid rows last) — the spatial
+    permutation :func:`build_target_index` applies.  Exposed so callers can
+    compute it once and reuse it: a rigid transform preserves spatial
+    coherence, so the order of a cloud indexed last frame (or registered this
+    frame) is a valid — and equally tight — order for its transformed self
+    (models/gmfa.py carries it across ICP, classification, and frames)."""
+    ptsf = jnp.where(mask[:, None], pts.astype(jnp.float32), 0.0)
+    key = jnp.where(mask, _morton_keys(ptsf), _BIG_I)
+    return jnp.argsort(key, stable=True)
+
+
+def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+                       order: jnp.ndarray | None = None) -> TargetIndex:
     """Morton-sort targets (invalid rows last) and precompute the VMEM layout
-    plus per-tile bounding balls."""
+    plus per-tile bounding balls.
+
+    ``order``: optional precomputed permutation (from :func:`sort_order`, or
+    a carried order of a rigidly-moved copy of this cloud).  Correctness does
+    not depend on it — tie-breaking uses original indices and invalid rows
+    are masked per column — only pruning tightness does."""
     m = tgt.shape[0]
     mp = -(-m // _TGT_TILE) * _TGT_TILE
     tgtf = jnp.where(tgt_mask[:, None], tgt.astype(jnp.float32), 0.0)
-    key = _morton_keys(jnp.where(tgt_mask[:, None], tgtf, 0.0))
-    key = jnp.where(tgt_mask, key, _BIG_I)  # invalid rows sort last
-    order = jnp.argsort(key, stable=True)
+    if order is None:
+        key = _morton_keys(jnp.where(tgt_mask[:, None], tgtf, 0.0))
+        key = jnp.where(tgt_mask, key, _BIG_I)  # invalid rows sort last
+        order = jnp.argsort(key, stable=True)
     tgt_s = tgtf[order]
     mask_s = tgt_mask[order]
     tidx = order.astype(jnp.int32)

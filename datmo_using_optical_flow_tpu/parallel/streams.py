@@ -123,7 +123,8 @@ def make_multi_stream_gmfa_step(cfg, mesh: Mesh, max_moving: int = 8192):
     spec = P("stream")
     carry_specs = GmfaCarry(prev_points=spec, prev_mask=spec,
                             table=TrackTableB(*([spec] * 6)),
-                            som=spec, prev_centroids=spec, prev_exists=spec)
+                            som=spec, prev_centroids=spec, prev_exists=spec,
+                            prev_order=spec)
     out_specs = (carry_specs,
                  GmfaOutputs(*([spec] * len(GmfaOutputs._fields))),
                  {"total_tracks": P(), "total_moving": P()})
