@@ -96,20 +96,24 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             # rows cluster into whole blocks in that order, so the kernel
             # skips them IN PLACE (per-block active counts) — no per-iteration
             # compaction permutation or gathers
-            idx_new, _, lo_q = nearest_neighbors_active_inplace(
+            idx_new, d2_new, lo_q = nearest_neighbors_active_inplace(
                 pts, tgtf, tmask, need, tgt_index, cap2=cap2)
         else:
-            idx_new, _, lo_q = nearest_neighbors_active(pts, tgtf, tmask, need,
-                                                        cap2=cap2)
+            idx_new, d2_new, lo_q = nearest_neighbors_active(
+                pts, tgtf, tmask, need, cap2=cap2)
+        # d2_new is already the exact direct-subtraction distance at the
+        # winner (Open3D-grade gating; the wrapper recomputes it), +inf on
+        # excluded rows — which provably cannot be correspondences (their
+        # certified NN distance exceeds the gate), so no re-gather at the
+        # carried idx is needed: the merged index is kept only for the cache.
         idx = jnp.where(need, idx_new, idx_old)
-        # exact d2 at the winner (direct subtraction; see eval_full)
-        diff = pts - tgtf[idx]
-        d2 = jnp.sum(diff * diff, axis=1)
         cache = (jnp.where(need, lo_q, lo_old),
                  idx,
                  jnp.where(need[:, None], pts, qpos))
-        corr = need & (d2 <= thr2)
-        return pts, idx, d2, corr, cache
+        corr = d2_new <= thr2
+        # Kabsch rows with zero weight cancel exactly, so the fresh index
+        # (0 on excluded rows) is a valid gather target for dst
+        return pts, idx_new, d2_new, corr, cache
 
     eval_state = eval_cached if cached else eval_full
 

@@ -171,36 +171,6 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
             jnp.where(active, lo, jnp.inf))
 
 
-def nearest_neighbors_active_presorted(src: jnp.ndarray, tgt: jnp.ndarray,
-                                       tgt_mask: jnp.ndarray,
-                                       active: jnp.ndarray, index, cap2=None
-                                       ) -> tuple[jnp.ndarray, jnp.ndarray,
-                                                  jnp.ndarray]:
-    """:func:`nearest_neighbors_active` for sources that are ALREADY spatially
-    ordered (incremental ICP permutes its cloud by Morton rank once, outside
-    the while_loop).  Per call this only stable-partitions active rows to the
-    front — a cumsum instead of an argsort (~2 ms cheaper per ICP iteration at
-    102k points) — which preserves the spatial coherence of both sides."""
-    from datmo_using_optical_flow_tpu.ops import nn_pallas
-
-    n = src.shape[0]
-    a = active.astype(jnp.int32)
-    n_active = jnp.sum(a)
-    pos_a = jnp.cumsum(a) - 1
-    pos_i = n_active + jnp.cumsum(1 - a) - 1
-    dest = jnp.where(active, pos_a, pos_i)   # original row -> compact slot
-    perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
-    idx_c, d2_c, lo_c = nn_pallas.nearest_neighbors_pallas(src[perm], index,
-                                                           n_active, cap2)
-    idx, d2, lo = idx_c[dest], d2_c[dest], lo_c[dest]  # gather-back
-    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
-    exact = jnp.sum(diff * diff, axis=1)
-    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
-    lo = jnp.minimum(lo, d2)
-    return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
-            jnp.where(active, lo, jnp.inf))
-
-
 def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
                                      tgt_mask: jnp.ndarray,
                                      active: jnp.ndarray, index, cap2=None
@@ -212,8 +182,8 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
     whose per-block active count is zero; because the incremental shell's
     exclusion is spatially coherent, inactive rows cluster into whole blocks
     in Morton order and per-block skipping captures most of the compaction
-    win without the per-iteration cumsum + four full-cloud gathers that
-    :func:`nearest_neighbors_active_presorted` pays.  Active rows inside
+    win without a per-iteration cumsum partition + four full-cloud
+    gathers.  Active rows inside
     mixed blocks are computed exactly; inactive rows return idx=0 / +inf
     (their in-block sweep results are discarded)."""
     from datmo_using_optical_flow_tpu.ops import nn_pallas
