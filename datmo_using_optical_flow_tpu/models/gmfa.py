@@ -216,23 +216,12 @@ class GMFAPipeline:
         exactly like ``process_files``, so the two forms agree bit-for-bit on
         track ids too (parity pinned by tests/test_gmfa_pipeline.py).
         """
-        cfg, max_moving = self.cfg, self.max_moving
         carry = carry._replace(prev_points=points[0], prev_mask=masks[0])
         base = jax.random.PRNGKey(seed)
         keys = jax.vmap(
             lambda i: jax.random.split(jax.random.fold_in(base, i))[1]
         )(jnp.arange(1, points.shape[0]))
-
-        @jax.jit
-        def run(c, pts, mks, ks):
-            def body(cc, xs):
-                p, m, k = xs
-                cc, out = _gmfa_step_impl(p, m, cc, k, cfg=cfg,
-                                          max_moving=max_moving)
-                return cc, out
-
-            return jax.lax.scan(body, c, (pts, mks, ks))
-
+        run = _cached_gmfa_scan(self.cfg, self.max_moving)
         return run(carry, points[1:], masks[1:], keys)
 
     @staticmethod
@@ -294,6 +283,21 @@ import functools
 @functools.lru_cache(maxsize=32)
 def _cached_gmfa_preprocess(cfg: GMFAConfig):
     return jax.jit(partial(_gmfa_preprocess_impl, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_gmfa_scan(cfg: GMFAConfig, max_moving: int):
+    # the whole-clip lax.scan compiles once per (cfg, max_moving); a fresh
+    # closure per scan_steps call would recompile the multi-second scan
+    # program on every clip (jax.jit caches by function identity)
+    def run(c, pts, mks, ks):
+        def body(cc, xs):
+            p, m, k = xs
+            return _gmfa_step_impl(p, m, cc, k, cfg=cfg, max_moving=max_moving)
+
+        return jax.lax.scan(body, c, (pts, mks, ks))
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)

@@ -263,6 +263,12 @@ class PipelineA:
                           f"max_cells={self.cfg.capacities.max_cells}; "
                           f"clustering truncated")
 
+        # a failed pipeline thread must fail the RUN, not deadlock it: each
+        # thread records its first exception here and keeps DRAINING its input
+        # queue (so producers never block on a dead consumer); the main loop
+        # re-raises at the next enqueue / at the end
+        exc: list[BaseException] = []
+
         def _transfer():
             done = False
             while not done:
@@ -272,24 +278,39 @@ class PipelineA:
                         batch.append(work.get_nowait())
                     except _queue.Empty:
                         break
+                got = len(batch)
                 if batch[-1] is None:
                     done = True
                     batch.pop()
-                if batch:
-                    t0 = time.perf_counter()
-                    # one D2H transfer for the whole drained batch
-                    bufs = np.asarray(HostPacker.stack([b for _, b in batch]))
-                    timings["artifacts_transfer"] += time.perf_counter() - t0
-                    ready.put(([i for i, _ in batch], bufs))
+                if batch and not exc:
+                    try:
+                        t0 = time.perf_counter()
+                        # one D2H transfer for the whole drained batch
+                        bufs = np.asarray(HostPacker.stack([b for _, b in batch]))
+                        timings["artifacts_transfer"] += time.perf_counter() - t0
+                        ready.put(([i for i, _ in batch], bufs))
+                    except BaseException as e:  # noqa: BLE001
+                        exc.append(e)
+                for _ in range(got):
+                    work.task_done()
             ready.put(None)
 
         def _writer():
-            while (item := ready.get()) is not None:
+            while True:
+                item = ready.get()
+                if item is None:
+                    ready.task_done()
+                    return
                 idxs, bufs = item
-                t0 = time.perf_counter()
-                for i, buf in zip(idxs, bufs):
-                    _mirror(i, packer.unpack(buf))
-                timings["artifacts"] += time.perf_counter() - t0
+                if not exc:
+                    try:
+                        t0 = time.perf_counter()
+                        for i, buf in zip(idxs, bufs):
+                            _mirror(i, packer.unpack(buf))
+                        timings["artifacts"] += time.perf_counter() - t0
+                    except BaseException as e:  # noqa: BLE001
+                        exc.append(e)
+                ready.task_done()
 
         threads = [threading.Thread(target=_transfer, daemon=True),
                    threading.Thread(target=_writer, daemon=True)]
@@ -299,6 +320,8 @@ class PipelineA:
             for i, (pts, mask) in enumerate(source):
                 if i < start_frame:
                     continue
+                if exc:
+                    raise exc[0]
                 # per-frame key derivation is index-based so resume is
                 # bit-reproducible
                 k = jax.random.fold_in(key, i)
@@ -319,11 +342,21 @@ class PipelineA:
                 work.put((i, pack_fn(bev, out)))
                 if (i and checkpoint_every and checkpoint_path
                         and (i + 1) % checkpoint_every == 0):
+                    # flush the artifact pipeline first: a snapshot must never
+                    # run ahead of its frames' artifacts (a crash in between
+                    # would otherwise resume past frames whose files were
+                    # still queued and never write them)
+                    work.join()
+                    ready.join()
+                    if exc:
+                        raise exc[0]
                     save_checkpoint(checkpoint_path, carry, step=i + 1)
         finally:
             work.put(None)
             for t in threads:
                 t.join()
+        if exc:
+            raise exc[0]
 
         tracks = self._tracks_dict(carry.step.table)
         sink.print_final_track_velocities(tracks)

@@ -156,14 +156,8 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     # full-window copy re-read every row wh/s times (2x at FS=24/YOFF=12).
     # The copy for strip t+1 starts at the END of step t (after strip t's warp
     # has consumed the rows it overwrites) and is waited at the top of step
-    # t+1, so the transfer rides under the blur/solve compute.
-    def new_rows_copy(dst_slot: int):
-        # rows [(t+1)*s, (t+2)*s) -> ring rows [dst_slot*s, (dst_slot+1)*s);
-        # constructed identically at start (for .wait) and prior end (.start)
-        return pltpu.make_async_copy(
-            r1_hbm.at[:, pl.ds((t + 1) * s, s), :],
-            win.at[:, dst_slot * s:(dst_slot + 1) * s, :], sem)
-
+    # t+1, so the transfer rides under the blur/solve compute.  Slot math
+    # lives in warp_pallas.ring_rows (shared with the standalone warp).
     n_slots = wh // s
 
     @pl.when(t == 0)
@@ -174,10 +168,7 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
 
     @pl.when((t >= 1) & (t < n_strips))
     def _():
-        for slot in range(n_slots):  # rows [(t+1)*s, ...) live at slot (t+1)%n
-            @pl.when((t + 1) % n_slots == slot)
-            def _():
-                new_rows_copy(slot).wait()
+        warp_pallas.ring_rows(r1_hbm, win, sem, t, 1, s, "wait")
 
     # ---- warp strip t into mtmp (skipped on the final drain step) ----
     @pl.when(t < n_strips)
@@ -190,13 +181,7 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     # ---- prefetch strip t+1's new rows (they overwrite strip t's oldest) ----
     @pl.when(t < n_strips - 1)
     def _():
-        for slot in range(n_slots):  # rows [(t+2)*s, ...) -> slot (t+2)%n
-            @pl.when((t + 2) % n_slots == slot)
-            def _():
-                c = pltpu.make_async_copy(
-                    r1_hbm.at[:, pl.ds((t + 2) * s, s), :],
-                    win.at[:, slot * s:(slot + 1) * s, :], sem)
-                c.start()
+        warp_pallas.ring_rows(r1_hbm, win, sem, t, 2, s, "start")
 
     # ---- blur + solve strip t-1 from (tail, mcur, mtmp) ----
     @pl.when(t >= 1)

@@ -194,15 +194,34 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     m_ref[4] = r6 * r2 + r5 * r3
 
 
+def ring_rows(r1_hbm, win, sem, t, k, s: int, action: str):
+    """Ring-window DMA dispatch shared by this kernel and the fused flow
+    kernel (ops/flow_pallas._fused_kernel): padded R1 row j lives at ring row
+    ``j % wh`` (``wh = win rows``, a multiple of the strip height ``s``), so
+    the s NEW rows of grid step ``t + k`` — rows ``[(t+k)*s, (t+k+1)*s)`` —
+    always land in slot ``(t+k) % (wh // s)``.  ``action`` starts or waits
+    the copy; start/wait pairs are constructed identically on both sides of
+    the grid-step boundary (the standard Pallas cross-step DMA idiom).  Keep
+    the slot arithmetic HERE only: a divergent copy in one kernel would
+    silently read stale window rows."""
+    n_slots = win.shape[1] // s
+    for slot in range(n_slots):
+        @pl.when((t + k) % n_slots == slot)
+        def _():
+            c = pltpu.make_async_copy(
+                r1_hbm.at[:, pl.ds((t + k) * s, s), :],
+                win.at[:, slot * s:(slot + 1) * s, :], sem)
+            c.start() if action == "start" else c.wait()
+
+
 def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, rowbuf, sem,
             *, h: int, w: int, wp: int, ww: int, n_strips: int):
-    """One strip with a ring-buffered R1 window: padded R1 row j lives at ring
-    row j % WH, only the S NEW rows per strip are DMA'd, and that copy is
-    started one grid step ahead (after the previous strip's last read of the
-    slot it overwrites) so it rides under a full strip of compute + the M
-    write-back.  The old form started AND waited the full 2.3 MB window copy
-    inside the same strip — ~10 us/strip of exposed DMA, measured as ~45% of
-    the warp's 1.47 ms at 1080p."""
+    """One strip with a ring-buffered R1 window: only the S NEW rows per strip
+    are DMA'd, and that copy is started one grid step ahead (after the
+    previous strip's last read of the slot it overwrites) so it rides under a
+    full strip of compute + the M write-back.  The old form started AND
+    waited the full 2.3 MB window copy inside the same strip — ~10 us/strip
+    of exposed DMA, measured as ~45% of the warp's 1.47 ms at 1080p."""
     t = pl.program_id(0)
     n_slots = WH // S  # = 2
 
@@ -214,12 +233,7 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, rowbuf, sem,
 
     @pl.when(t >= 1)
     def _():
-        for slot in range(n_slots):  # rows [(t+1)*S, (t+2)*S) live at slot (t+1)%2
-            @pl.when((t + 1) % n_slots == slot)
-            def _():
-                pltpu.make_async_copy(
-                    r1_hbm.at[:, pl.ds((t + 1) * S, S), :],
-                    win.at[:, slot * S:(slot + 1) * S, :], sem).wait()
+        ring_rows(r1_hbm, win, sem, t, 1, S, "wait")
 
     _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, None,
                h=h, w=w, wp=wp, ww=ww, s=S, t=t, rowbuf=rowbuf,
@@ -230,12 +244,7 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, rowbuf, sem,
     # next strip's weight computation
     @pl.when(t < n_strips - 1)
     def _():
-        for slot in range(n_slots):
-            @pl.when((t + 2) % n_slots == slot)
-            def _():
-                pltpu.make_async_copy(
-                    r1_hbm.at[:, pl.ds((t + 2) * S, S), :],
-                    win.at[:, slot * S:(slot + 1) * S, :], sem).start()
+        ring_rows(r1_hbm, win, sem, t, 2, S, "start")
 
 
 @partial(jax.jit, static_argnames=("s",))

@@ -5,6 +5,14 @@ small tuple at ``Optical_flow/main.py:552-559`` (tracks, lifetimes, confirmed se
 previous velocity grids) — here the :class:`StepCarry` / :class:`GmfaCarry`
 pytrees.  Snapshots go through orbax when available, with a plain ``.npz``
 fallback; both round-trip arbitrary NamedTuple pytrees.
+
+.npz layout: one entry per leaf, keyed by the leaf's tree path (e.g.
+``leaf.table.alive``) so carries can gain fields without invalidating old
+snapshots — a missing leaf restores from the ``like`` template (every added
+field so far has a functionally-valid default, e.g. ``GmfaCarry.prev_order``'s
+arange).  Archives from before the path-keyed format (positional ``leaf_<i>``)
+load via an index fallback, which is safe because new fields are only ever
+appended.
 """
 
 from __future__ import annotations
@@ -15,12 +23,16 @@ import jax
 import numpy as np
 
 
+def _path_key(path) -> str:
+    return "leaf" + jax.tree_util.keystr(path)
+
+
 def save_checkpoint(path: str, carry, step: int = 0) -> None:
     """Snapshot a carry pytree to ``path`` (directory for orbax, .npz otherwise)."""
     if path.endswith(".npz"):
-        leaves, treedef = jax.tree.flatten(carry)
+        leaves, _ = jax.tree_util.tree_flatten_with_path(carry)
         np.savez(path, step=step, n=len(leaves),
-                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+                 **{_path_key(p): np.asarray(x) for p, x in leaves})
         return
     import orbax.checkpoint as ocp
 
@@ -31,12 +43,23 @@ def save_checkpoint(path: str, carry, step: int = 0) -> None:
 
 
 def load_checkpoint(path: str, like, step: int = 0):
-    """Restore a carry pytree with the structure/dtypes of ``like``."""
+    """Restore a carry pytree with the structure/dtypes of ``like``.
+
+    Leaves absent from the archive (snapshot predates a carry field) keep the
+    ``like`` template's value."""
     if path.endswith(".npz"):
         data = np.load(path)
-        leaves, treedef = jax.tree.flatten(like)
-        restored = [np.asarray(data[f"leaf_{i}"]).astype(np.asarray(x).dtype)
-                    for i, x in enumerate(leaves)]
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+        restored = []
+        for i, (p, x) in enumerate(leaves):
+            key = _path_key(p)
+            if key in data:
+                val = data[key]
+            elif f"leaf_{i}" in data:   # positional legacy archives
+                val = data[f"leaf_{i}"]
+            else:
+                val = np.asarray(x)     # field added after the snapshot
+            restored.append(np.asarray(val).astype(np.asarray(x).dtype))
         return jax.tree.unflatten(treedef, restored)
     import orbax.checkpoint as ocp
 

@@ -152,6 +152,24 @@ def test_process_files_writes_artifacts(cfg, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "filtered_velocities.csv"))
 
 
+def test_process_files_writer_failure_raises(cfg, tmp_path, monkeypatch):
+    """A failing artifact writer (e.g. disk full) must FAIL the run, not
+    deadlock it: the background writer thread records the exception, keeps
+    draining its queues, and the main loop re-raises."""
+    import pytest
+
+    from datmo_using_optical_flow_tpu.io.artifacts import ArtifactSink
+
+    def boom(self, *a, **k):
+        raise OSError("disk full (synthetic)")
+
+    monkeypatch.setattr(ArtifactSink, "save_bev", boom)
+    paths = write_synthetic_sequence(SyntheticScene(seed=9), str(tmp_path / "seq"), 4)
+    pipe = PipelineA(cfg)
+    with pytest.raises(OSError, match="disk full"):
+        pipe.process_files(paths, output_dir=str(tmp_path / "out"), save_png=False)
+
+
 def test_pipeline_deterministic(cfg, bev_seq):
     """Same inputs + same keys -> identical outputs (explicit PRNG everywhere)."""
     pipe = PipelineA(cfg, fast_warp=False)

@@ -80,3 +80,39 @@ def test_gmfa_resume_matches_uninterrupted(tmp_path):
     # resumed rows are the tail of the full run's rows
     assert resumed["rows"] == full["rows"][len(full["rows"]) - len(resumed["rows"]):]
     assert resumed["rows"], "expected post-resume track rows"
+
+
+def test_checkpoint_legacy_and_missing_leaf(tmp_path):
+    """Old archives load into newer carries: positional leaf_<i> keys (the
+    pre-path-keyed format) still resolve, and a leaf the snapshot predates
+    (GmfaCarry.prev_order) falls back to the template's value."""
+    from datmo_using_optical_flow_tpu.utils.checkpoint import (load_checkpoint,
+                                                               save_checkpoint)
+
+    cfg = GMFAConfig(capacities=CapacityConfig(
+        max_raw_points=4096, max_roi_points=512, max_cells=512,
+        max_clusters=4, max_tracks=8))
+    pipe = GMFAPipeline(cfg, max_moving_points=1024)
+    carry = pipe.init_carry()
+    carry = carry._replace(som=carry.som + 0.25,
+                           prev_mask=carry.prev_mask.at[:7].set(True))
+
+    # current (path-keyed) round trip
+    p1 = str(tmp_path / "new.npz")
+    save_checkpoint(p1, carry, step=4)
+    back = load_checkpoint(p1, pipe.init_carry())
+    for got, exp in zip(jax.tree.leaves(back), jax.tree.leaves(carry)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    # legacy positional archive WITHOUT the trailing prev_order leaf
+    leaves = jax.tree.leaves(carry)
+    legacy = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves[:-1])}
+    p2 = str(tmp_path / "old.npz")
+    np.savez(p2, step=4, n=len(leaves) - 1, **legacy)
+    back = load_checkpoint(p2, pipe.init_carry())
+    restored = jax.tree.leaves(back)
+    for got, exp in zip(restored[:-1], leaves[:-1]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    # the missing leaf keeps the template's (functionally valid) arange
+    np.testing.assert_array_equal(np.asarray(restored[-1]),
+                                  np.asarray(pipe.init_carry().prev_order))
