@@ -81,7 +81,7 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         return pts, idx, d2, corr, cache
 
     def eval_cached(transform, cache):
-        lo_old, idx_old, qpos = cache
+        lo_old, idx_old, qpos, b2_old = cache
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
         delta = jnp.linalg.norm(pts - qpos, axis=1) + _DELTA_PAD
         # the kernel's sound lower bound on the true NN distance at the last
@@ -90,30 +90,44 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         # skip the target sweep
         lo_new = jnp.sqrt(lo_old) - delta
         excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
-        need = smask & ~excluded
+        # winner certificate (the classic closest-point cache, made sound):
+        # the exact distance to the CARRIED winner strictly below the decayed
+        # lower bound on the distance to any OTHER target point proves the
+        # winner is still the unique nearest neighbor — the row keeps
+        # (winner, exact d2) without a sweep.  The sweep's d2nd bound covers
+        # capped rows too (their floor sits at ~the cap, far below their
+        # winner distance, so they can never self-certify).
+        q_old = tgtf[idx_old]
+        dw2 = jnp.sum((pts - q_old) ** 2, axis=1)
+        b2_dec = jnp.sqrt(b2_old) - delta
+        certified = smask & ~excluded & (jnp.sqrt(dw2) + _DELTA_PAD < b2_dec)
+        need = smask & ~excluded & ~certified
         if tgt_index is not None:
             # the caller permuted the source by Morton rank once; excluded
             # rows cluster into whole blocks in that order, so the kernel
             # skips them IN PLACE (per-block active counts) — no per-iteration
             # compaction permutation or gathers
-            idx_new, d2_new, lo_q = nearest_neighbors_active_inplace(
+            idx_new, d2_new, lo_q, b2_q = nearest_neighbors_active_inplace(
                 pts, tgtf, tmask, need, tgt_index, cap2=cap2)
         else:
             idx_new, d2_new, lo_q = nearest_neighbors_active(
                 pts, tgtf, tmask, need, cap2=cap2)
-        # d2_new is already the exact direct-subtraction distance at the
-        # winner (Open3D-grade gating; the wrapper recomputes it), +inf on
-        # excluded rows — which provably cannot be correspondences (their
-        # certified NN distance exceeds the gate), so no re-gather at the
-        # carried idx is needed: the merged index is kept only for the cache.
+            b2_q = jnp.zeros_like(d2_new)   # fallback path: never certify
+        # d2_new is the exact direct-subtraction distance at the winner
+        # (Open3D-grade gating; the wrapper recomputes it); certified rows
+        # contribute their exact carried-winner distance; excluded rows +inf
+        # (provably outside the gate).
         idx = jnp.where(need, idx_new, idx_old)
-        cache = (jnp.where(need, lo_q, lo_old),
+        d2 = jnp.where(need, d2_new, jnp.where(certified, dw2, jnp.inf))
+        corr = d2 <= thr2
+        # certified rows re-anchor at the current position: their NN distance
+        # is exactly dw2 and the second-nearest bound decays to b2_dec
+        b2_dec2 = jnp.maximum(b2_dec, 0.0) ** 2
+        cache = (jnp.where(need, lo_q, jnp.where(certified, dw2, lo_old)),
                  idx,
-                 jnp.where(need[:, None], pts, qpos))
-        corr = d2_new <= thr2
-        # Kabsch rows with zero weight cancel exactly, so the fresh index
-        # (0 on excluded rows) is a valid gather target for dst
-        return pts, idx_new, d2_new, corr, cache
+                 jnp.where((need | certified)[:, None], pts, qpos),
+                 jnp.where(need, b2_q, jnp.where(certified, b2_dec2, b2_old)))
+        return pts, idx, d2, corr, cache
 
     eval_state = eval_cached if cached else eval_full
 
@@ -144,7 +158,8 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
 
     cache0 = (jnp.zeros((n,), jnp.float32),            # d2 lower bound at last query
               jnp.zeros((n,), jnp.int32),              # NN index at last query
-              jnp.full((n, 3), 1e9, jnp.float32))      # last query position
+              jnp.full((n, 3), 1e9, jnp.float32),      # last query position
+              jnp.zeros((n,), jnp.float32))            # second-NN d2 lower bound
     init = (init_transform, jnp.float32(0.0), jnp.float32(0.0),
             jnp.float32(-1.0), jnp.float32(-1.0), 0, cache0)
     transform, _, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)

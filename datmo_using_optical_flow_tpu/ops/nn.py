@@ -64,7 +64,7 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
         index = nn_pallas.build_target_index(tgt, tgt_mask, order=tgt_order)
         order = (jnp.argsort(nn_pallas._morton_keys(src), stable=True)
                  if src_order is None else src_order)
-        idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
+        idx_s, d2_s, lo_s, _ = nn_pallas.nearest_neighbors_pallas(
             src[order], index, cap2=cap2)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -159,7 +159,7 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     key = nn_pallas._morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
     order = jnp.argsort(key, stable=True)
     n_active = jnp.sum(active.astype(jnp.int32))
-    idx_s, d2_s, lo_s = nn_pallas.nearest_neighbors_pallas(
+    idx_s, d2_s, lo_s, _ = nn_pallas.nearest_neighbors_pallas(
         src[order], index, n_active, cap2)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
@@ -203,15 +203,17 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
     first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :], (npad // b, b, 3))
     src_clean = jnp.where(actp[:, None], srcp,
                           first.reshape(npad, 3))
-    idx, d2, lo = nn_pallas.nearest_neighbors_pallas(src_clean[:n], index,
-                                                     cap2=cap2,
-                                                     block_counts=counts)
+    idx, d2, lo, d2nd = nn_pallas.nearest_neighbors_pallas(src_clean[:n], index,
+                                                           cap2=cap2,
+                                                           block_counts=counts)
     diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)
     lo = jnp.minimum(lo, d2)
+    # fourth output: sound lower bound on the SECOND-nearest distance (winner
+    # certificates, ops/icp.py).  0.0 — never certifies — on inactive rows.
     return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
-            jnp.where(active, lo, jnp.inf))
+            jnp.where(active, lo, jnp.inf), jnp.where(active, d2nd, 0.0))
 
 
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,

@@ -153,8 +153,9 @@ def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
 
 
 def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
-            cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
-            bd, bi, bl, bmax, lb_s, to_s, sems, *, m_tiles: int):
+            cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref, d2nd_ref,
+            bd, bi, bl, bmax, s1, s2, sm2, s1t, bti, lb_s, to_s, sems,
+            *, m_tiles: int):
     t = pl.program_id(0)
 
     # blocks with no active source row (na_ref[t] == 0) skip the target sweep
@@ -175,18 +176,20 @@ def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
         c2.wait()
         _kernel_body(t, cap_ref, lb_s, to_s, tgt_ref, tn_ref, tidx_ref, src_ref,
                      cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
-                     bd, bi, bl, bmax, m_tiles=m_tiles)
+                     d2nd_ref, bd, bi, bl, bmax, s1, s2, sm2, s1t, bti,
+                     m_tiles=m_tiles)
 
     @pl.when(na_ref[t] == 0)
     def _():
         di_ref[...] = jnp.zeros_like(di_ref)
         dd_ref[...] = jnp.full_like(dd_ref, jnp.inf)
         dl_ref[...] = jnp.full_like(dl_ref, jnp.inf)
+        d2nd_ref[...] = jnp.full_like(d2nd_ref, jnp.inf)
 
 
 def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
-                 cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
-                 bd, bi, bl, bmax, *, m_tiles: int):
+                 cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref, d2nd_ref,
+                 bd, bi, bl, bmax, s1, s2, sm2, s1t, bti, *, m_tiles: int):
     alpha = ALPHA_HILO if USE_HILO else ALPHA
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
@@ -199,6 +202,21 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
     bd[...] = jnp.full_like(bd, jnp.inf)    # running min of (d2 - sn)
     bi[...] = jnp.full_like(bi, _BIG_I)
     bl[...] = jnp.full_like(bl, jnp.inf)
+    # Second-nearest lower bound (ops/icp.py winner certificates).  Any
+    # non-winner point's true d2 is >= its own tile's slacked minimum m1
+    # (points sharing the winner's tile: >= that tile's slacked SECOND
+    # minimum, covered by sm2 = min over tiles of slacked t2 — global, so
+    # looser but sound).  The bound is therefore
+    #     min( smallest m1 over tiles OTHER than the winner's , sm2 )
+    # realized by tracking the two smallest m1 WITH the s1 achiever's tile id
+    # (s1t) and the winner's tile id (bti): if the winner's tile achieved s1,
+    # the min-over-others is s2, else s1.  Skipped tiles are covered by the
+    # ascending-order break floor at the end.
+    s1[...] = jnp.full_like(s1, jnp.inf)
+    s2[...] = jnp.full_like(s2, jnp.inf)
+    sm2[...] = jnp.full_like(sm2, jnp.inf)
+    s1t[...] = jnp.full_like(s1t, -1)
+    bti[...] = jnp.full_like(bti, -2)       # != s1t init: no spurious match
     # capped search (ops/icp.py): rows are only owed an exact NN when their
     # true d2 < cap2; a tile provably farther than cap2 from every row is
     # skipped even while some row still has no candidate (bd=inf).  cap2=inf
@@ -264,13 +282,24 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         # folded in after the loop.
         maxtpn = jnp.max(jnp.where(tn_raw < jnp.float32(3e38), tpn, 0.0))
         tl = td - alpha * maxtpn
+        # second-nearest tracking: the tile's second-smallest computed d2
+        # (an equal-valued tie means the second IS td), slacked like tl
+        n_min = jnp.sum(jnp.where(d2 == td, 1.0, 0.0), axis=1, keepdims=True)
+        t2raw = jnp.min(jnp.where(d2 == td, jnp.inf, d2), axis=1, keepdims=True)
+        t2 = jnp.where(n_min > 1.0, td, t2raw)
+        sm2[...] = jnp.minimum(sm2[...], t2 - alpha * maxtpn)
+        is_new_min = tl < s1[...]
+        s2[...] = jnp.where(is_new_min, s1[...], jnp.minimum(s2[...], tl))
+        s1t[...] = jnp.where(is_new_min, jt, s1t[...])
+        s1[...] = jnp.where(is_new_min, tl, s1[...])
+        bti[...] = jnp.where(take, jt, bti[...])
         bi[...] = jnp.where(take, ti, bi[...])
         bd[...] = jnp.where(take, td, bd[...])
         bl[...] = jnp.minimum(bl[...], tl)
         bmax[0, 0] = jnp.minimum(jnp.max(bd[...] + sn), cap2)
         return j + 1
 
-    jax.lax.while_loop(tile_cond, tile_step, jnp.int32(0))
+    j_fin = jax.lax.while_loop(tile_cond, tile_step, jnp.int32(0))
     best_i = bi[...]
     di_ref[...] = jnp.where(best_i == _BIG_I, 0, best_i)
     dd_ref[...] = jnp.maximum(bd[...] + sn, 0.0)
@@ -278,6 +307,14 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
     # lies above min(bmax, cap2), so cap2 itself is a sound bound there
     dl_ref[...] = jnp.maximum(
         jnp.minimum(bl[...] + (1.0 - alpha) * sn - alpha, cap2), 0.0)
+    # skipped tiles all lie at/above the break tile's (ascending) bound — the
+    # per-block floor of the second-nearest bound
+    floor_abs = jnp.where(j_fin < m_tiles,
+                          lb_ref[0, jnp.minimum(j_fin, m_tiles - 1)], jnp.inf)
+    other_min = jnp.where(bti[...] == s1t[...], s2[...], s1[...])
+    second = jnp.minimum(other_min, sm2[...])
+    d2nd_ref[...] = jnp.maximum(
+        jnp.minimum(second + (1.0 - alpha) * sn - alpha, floor_abs), 0.0)
 
 
 def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
@@ -354,7 +391,7 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     centp = jnp.pad(cent, ((0, 0), (0, 5)))
     kernel = partial(_kernel, m_tiles=m_tiles)
-    idx, d2, lo = pl.pallas_call(
+    idx, d2, lo, d2nd = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=(n_blocks,),
@@ -376,8 +413,11 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                    pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)),
         scratch_shapes=[
@@ -385,6 +425,11 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
             pltpu.VMEM((_SRC_BLOCK, 1), jnp.int32),    # bi
             pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # bl
             pltpu.SMEM((1, 1), jnp.float32),           # bmax
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # s1
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # s2
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.float32),  # sm2
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.int32),    # s1t
+            pltpu.VMEM((_SRC_BLOCK, 1), jnp.int32),    # bti
             pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.float32),  # lb row
             pltpu.SMEM((1, m_tiles + (-m_tiles) % 128), jnp.int32),    # order row
             pltpu.SemaphoreType.DMA((2,)),
@@ -395,7 +440,7 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
       index.packed, index.tn, index.tidx, srcf,
       jnp.broadcast_to(centp[:, None, :], (n_blocks, 8, 8)),
       jnp.broadcast_to(centp[:, :, None], (n_blocks, 8, 8)))
-    return idx[:n, 0], d2[:n, 0], lo[:n, 0]
+    return idx[:n, 0], d2[:n, 0], lo[:n, 0], d2nd[:n, 0]
 
 
 def eligible(m: int) -> bool:
