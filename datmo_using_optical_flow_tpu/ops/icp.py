@@ -68,6 +68,25 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
     n = srcf.shape[0]
     n_valid = jnp.maximum(jnp.sum(smask.astype(jnp.float32)), 1.0)
 
+    block_table = None
+    if tgt_index is not None:
+        from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+        # per-(block, tile) pruning table built ONCE: the source only drifts
+        # rigidly between iterations, so each sweep reuses it with the
+        # max-displacement pad (order-preserving scalar subtraction) instead
+        # of recomputing block-ball norms + a row argsort per iteration.
+        # Invalid rows are rewritten to their block's first row so boundary
+        # blocks' balls stay tight (same fill the in-place query applies).
+        b = nn_pallas._SRC_BLOCK
+        npad = -(-n // b) * b
+        srcp = jnp.pad(srcf, ((0, npad - n), (0, 0)), mode="edge")
+        maskp = jnp.pad(smask, (0, npad - n))
+        first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :],
+                                 (npad // b, b, 3)).reshape(npad, 3)
+        src_build = jnp.where(maskp[:, None], srcp, first)[:n]
+        block_table = nn_pallas.build_block_table(src_build, tgt_index, n)
+
     def eval_full(transform, cache):
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
         idx, _ = nearest_neighbors(pts, tgtf, tmask)
@@ -106,9 +125,13 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             # the caller permuted the source by Morton rank once; excluded
             # rows cluster into whole blocks in that order, so the kernel
             # skips them IN PLACE (per-block active counts) — no per-iteration
-            # compaction permutation or gathers
+            # compaction permutation or gathers.  The pruning table is the
+            # build-time one, padded by the max displacement since build.
+            drift = jnp.max(jnp.where(
+                smask, jnp.linalg.norm(pts - srcf, axis=1), 0.0)) + _DELTA_PAD
             idx_new, d2_new, lo_q, b2_q = nearest_neighbors_active_inplace(
-                pts, tgtf, tmask, need, tgt_index, cap2=cap2)
+                pts, tgtf, tmask, need, tgt_index, cap2=cap2,
+                block_table=block_table, drift=drift)
         else:
             idx_new, d2_new, lo_q = nearest_neighbors_active(
                 pts, tgtf, tmask, need, cap2=cap2)

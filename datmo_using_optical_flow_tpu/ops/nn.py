@@ -173,9 +173,10 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
 
 def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
                                      tgt_mask: jnp.ndarray,
-                                     active: jnp.ndarray, index, cap2=None
+                                     active: jnp.ndarray, index, cap2=None,
+                                     block_table=None, drift=None
                                      ) -> tuple[jnp.ndarray, jnp.ndarray,
-                                                jnp.ndarray]:
+                                                jnp.ndarray, jnp.ndarray]:
     """Subset 1-NN with NO row movement: ``src`` must already be spatially
     coherent (Morton order — incremental ICP permutes its cloud once, outside
     the while_loop), and rows stay in place.  The kernel skips whole blocks
@@ -203,9 +204,9 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
     first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :], (npad // b, b, 3))
     src_clean = jnp.where(actp[:, None], srcp,
                           first.reshape(npad, 3))
-    idx, d2, lo, d2nd = nn_pallas.nearest_neighbors_pallas(src_clean[:n], index,
-                                                           cap2=cap2,
-                                                           block_counts=counts)
+    idx, d2, lo, d2nd = nn_pallas.nearest_neighbors_pallas(
+        src_clean[:n], index, cap2=cap2, block_counts=counts,
+        block_table=block_table, drift=drift)
     diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)

@@ -317,11 +317,47 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         jnp.minimum(second + (1.0 - alpha) * sn - alpha, floor_abs), 0.0)
 
 
+def build_block_table(src: jnp.ndarray, index: TargetIndex,
+                      n: int | None = None
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(source block, target tile) pruning table: LINEAR bounding-ball
+    lower bounds sorted ascending per block, plus the tile visit order.
+    Lane-aligned/padded with +inf, ready for the kernel's HBM->SMEM row DMA.
+
+    Reusable across rigid drift (ops/icp.py): if every source point has moved
+    at most ``drift`` since the table was built, ``max(lb - drift, 0)`` is a
+    sound bound for the moved cloud, and a uniform scalar subtraction
+    preserves the ascending order exactly — so the per-sweep block-ball
+    norms + row argsort happen ONCE per ICP instead of once per iteration."""
+    n = src.shape[0] if n is None else n
+    np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
+    n_blocks = np_ // _SRC_BLOCK
+    srcf = jnp.pad(src.astype(jnp.float32)[:n], ((0, np_ - n), (0, 0)),
+                   mode="edge")
+    blocks = srcf.reshape(n_blocks, _SRC_BLOCK, 3)
+    blo = jnp.min(blocks, axis=1)
+    bhi = jnp.max(blocks, axis=1)
+    bc = (blo + bhi) * 0.5
+    br = jnp.max(jnp.linalg.norm(blocks - bc[:, None, :], axis=2), axis=1)
+    d_ct = jnp.linalg.norm(bc[:, None, :] - index.tile_cent[None, :, :], axis=2)
+    lb = jnp.maximum(d_ct - br[:, None] - index.tile_rad[None, :] - _LB_PAD, 0.0)
+    lb = jnp.where(jnp.isfinite(index.tile_rad)[None, :], lb, jnp.inf)
+    m_tiles = index.packed.shape[0]
+    torder = jnp.argsort(lb, axis=1).astype(jnp.int32)
+    lb = jnp.take_along_axis(lb, torder, axis=1)
+    mt_pad = (-m_tiles) % 128
+    lb = jnp.pad(lb, ((0, 0), (0, mt_pad)), constant_values=jnp.inf)
+    torder = jnp.pad(torder, ((0, 0), (0, mt_pad)))
+    return lb, torder
+
+
 def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                              n_active: jnp.ndarray | None = None,
                              cap2: jnp.ndarray | None = None,
-                             block_counts: jnp.ndarray | None = None
-                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                             block_counts: jnp.ndarray | None = None,
+                             block_table=None, drift=None
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray]:
     """1-NN of each ``src`` row among the index's valid targets.
 
     Returns ``(idx, sqdist, sqdist_lower_bound)`` — idx in ORIGINAL target
@@ -372,22 +408,17 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     blocks = srcf.reshape(n_blocks, _SRC_BLOCK, 8)[:, :, :3]
     cent = blocks[:, 0, :]                                   # representative
-    blo = jnp.min(blocks, axis=1)
-    bhi = jnp.max(blocks, axis=1)
-    bc = (blo + bhi) * 0.5
-    br = jnp.max(jnp.linalg.norm(blocks - bc[:, None, :], axis=2), axis=1)
 
-    # (n_blocks, m_tiles) bounding-ball lower bounds on squared distance,
-    # visited in ascending order per block so bmax tightens fastest
-    d_ct = jnp.linalg.norm(bc[:, None, :] - index.tile_cent[None, :, :], axis=2)
-    lb = jnp.maximum(d_ct - br[:, None] - index.tile_rad[None, :] - _LB_PAD, 0.0)
-    lb2 = jnp.where(jnp.isfinite(index.tile_rad)[None, :], lb * lb, jnp.inf)
-    torder = jnp.argsort(lb2, axis=1).astype(jnp.int32)
-    lb2 = jnp.take_along_axis(lb2, torder, axis=1)
-    # lane-align the (n_blocks, m_tiles) tables for the per-block HBM->SMEM DMA
-    mt_pad = (-m_tiles) % 128
-    lb2 = jnp.pad(lb2, ((0, 0), (0, mt_pad)), constant_values=jnp.inf)
-    torder = jnp.pad(torder, ((0, 0), (0, mt_pad)))
+    if block_table is None:
+        lb_lin, torder = build_block_table(src, index, n)
+    else:
+        lb_lin, torder = block_table
+    if drift is not None:
+        # the table was built from positions now displaced by <= drift: each
+        # linear bound shrinks by at most drift, and a uniform scalar
+        # subtraction preserves the ascending visit order exactly
+        lb_lin = jnp.maximum(lb_lin - jnp.asarray(drift, jnp.float32), 0.0)
+    lb2 = jnp.where(jnp.isfinite(lb_lin), lb_lin * lb_lin, jnp.inf)
 
     centp = jnp.pad(cent, ((0, 0), (0, 5)))
     kernel = partial(_kernel, m_tiles=m_tiles)
