@@ -94,13 +94,14 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         # form carries ~|p|^2*eps absolute noise (~2e-4 at ROI scale), as large
         # as the 0.02^2 correspondence gate — Open3D gates in doubles, and the
         # noisy gate makes fitness jitter above the 1e-6 convergence criteria
-        diff = pts - tgtf[idx]
+        dst = tgtf[idx]
+        diff = pts - dst
         d2 = jnp.sum(diff * diff, axis=1)
         corr = smask & (d2 <= thr2)
-        return pts, idx, d2, corr, cache
+        return pts, dst, d2, corr, cache
 
     def eval_cached(transform, cache):
-        lo_old, idx_old, qpos, b2_old = cache
+        lo_old, qw, qpos, b2_old = cache
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
         delta = jnp.linalg.norm(pts - qpos, axis=1) + _DELTA_PAD
         # the kernel's sound lower bound on the true NN distance at the last
@@ -110,47 +111,48 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         lo_new = jnp.sqrt(lo_old) - delta
         excluded = (lo_new > 0.0) & (lo_new * lo_new > thr2)
         # winner certificate (the classic closest-point cache, made sound):
-        # the exact distance to the CARRIED winner strictly below the decayed
-        # lower bound on the distance to any OTHER target point proves the
-        # winner is still the unique nearest neighbor — the row keeps
-        # (winner, exact d2) without a sweep.  The sweep's d2nd bound covers
-        # capped rows too (their floor sits at ~the cap, far below their
-        # winner distance, so they can never self-certify).
-        q_old = tgtf[idx_old]
-        dw2 = jnp.sum((pts - q_old) ** 2, axis=1)
+        # the exact distance to the CARRIED winner coords strictly below the
+        # decayed lower bound on the distance to any OTHER target point
+        # proves the winner is still the unique nearest neighbor — the row
+        # keeps (winner, exact d2) without a sweep.  Rows whose last sweep
+        # found no candidate carry b2=0 and can never self-certify; capped
+        # rows carry b2 <= ~cap^2, far below their winner distance — ditto.
+        dw2 = jnp.sum((pts - qw) ** 2, axis=1)
         b2_dec = jnp.sqrt(b2_old) - delta
         certified = smask & ~excluded & (jnp.sqrt(dw2) + _DELTA_PAD < b2_dec)
         need = smask & ~excluded & ~certified
         if tgt_index is not None:
             # the caller permuted the source by Morton rank once; excluded
             # rows cluster into whole blocks in that order, so the kernel
-            # skips them IN PLACE (per-block active counts) — no per-iteration
-            # compaction permutation or gathers.  The pruning table is the
-            # build-time one, padded by the max displacement since build.
+            # skips them IN PLACE (per-block active counts).  The pruning
+            # table is the build-time one, padded by the max displacement
+            # since build.  No gathers anywhere: the kernel returns winner
+            # COORDS, carried in the cache.
             drift = jnp.max(jnp.where(
                 smask, jnp.linalg.norm(pts - srcf, axis=1), 0.0)) + _DELTA_PAD
-            idx_new, d2_new, lo_q, b2_q = nearest_neighbors_active_inplace(
+            _, d2_new, lo_q, b2_q, crd_new = nearest_neighbors_active_inplace(
                 pts, tgtf, tmask, need, tgt_index, cap2=cap2,
                 block_table=block_table, drift=drift)
         else:
             idx_new, d2_new, lo_q = nearest_neighbors_active(
                 pts, tgtf, tmask, need, cap2=cap2)
+            crd_new = tgtf[idx_new]
             b2_q = jnp.zeros_like(d2_new)   # fallback path: never certify
-        # d2_new is the exact direct-subtraction distance at the winner
-        # (Open3D-grade gating; the wrapper recomputes it); certified rows
-        # contribute their exact carried-winner distance; excluded rows +inf
-        # (provably outside the gate).
-        idx = jnp.where(need, idx_new, idx_old)
+        # d2_new is the exact direct-subtraction distance at the winner;
+        # certified rows contribute their exact carried-winner distance;
+        # excluded rows +inf (provably outside the gate).
+        dst = jnp.where(need[:, None], crd_new, qw)
         d2 = jnp.where(need, d2_new, jnp.where(certified, dw2, jnp.inf))
         corr = d2 <= thr2
         # certified rows re-anchor at the current position: their NN distance
         # is exactly dw2 and the second-nearest bound decays to b2_dec
         b2_dec2 = jnp.maximum(b2_dec, 0.0) ** 2
+        b2_fresh = jnp.where(jnp.isfinite(d2_new), b2_q, 0.0)
         cache = (jnp.where(need, lo_q, jnp.where(certified, dw2, lo_old)),
-                 idx,
+                 dst,
                  jnp.where((need | certified)[:, None], pts, qpos),
-                 jnp.where(need, b2_q, jnp.where(certified, b2_dec2, b2_old)))
-        return pts, idx, d2, corr, cache
+                 jnp.where(need, b2_fresh, jnp.where(certified, b2_dec2, b2_old)))
+        return pts, dst, d2, corr, cache
 
     eval_state = eval_cached if cached else eval_full
 
@@ -170,9 +172,8 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
 
     def body(state):
         transform, f1, r1, f0, r0, it, cache = state
-        pts, idx, d2, corr, cache = eval_state(transform, cache)
+        pts, dst, d2, corr, cache = eval_state(transform, cache)
         w, cnt, fitness, rmse = observables(d2, corr)
-        dst = tgtf[idx]
         update = _kabsch(pts, dst, w)
         # fewer than 3 correspondences: no reliable estimate; keep transform
         update = jnp.where(cnt >= 3, update, jnp.eye(4))
@@ -180,7 +181,7 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         return new_transform, fitness, rmse, f1, r1, it + 1, cache
 
     cache0 = (jnp.zeros((n,), jnp.float32),            # d2 lower bound at last query
-              jnp.zeros((n,), jnp.int32),              # NN index at last query
+              jnp.zeros((n, 3), jnp.float32),          # winner COORDS at last query
               jnp.full((n, 3), 1e9, jnp.float32),      # last query position
               jnp.zeros((n,), jnp.float32))            # second-NN d2 lower bound
     init = (init_transform, jnp.float32(0.0), jnp.float32(0.0),

@@ -64,15 +64,16 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
         index = nn_pallas.build_target_index(tgt, tgt_mask, order=tgt_order)
         order = (jnp.argsort(nn_pallas._morton_keys(src), stable=True)
                  if src_order is None else src_order)
-        idx_s, d2_s, lo_s, _ = nn_pallas.nearest_neighbors_pallas(
+        idx_s, d2_s, lo_s, _, crd_s = nn_pallas.nearest_neighbors_pallas(
             src[order], index, cap2=cap2)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
-        idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
-        # exact d2 at the winner (direct subtraction, one cheap gather): the
-        # sweep value carries the recentered expansion's rounding; the
-        # returned distance should be faithful to the returned neighbor
-        diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+        idx, d2, lo, crd = idx_s[inv], d2_s[inv], lo_s[inv], crd_s[inv]
+        # exact d2 at the winner by direct subtraction of the kernel-returned
+        # winner COORDS (no target gather): the sweep value carries the
+        # recentered expansion's rounding; the returned distance should be
+        # faithful to the returned neighbor
+        diff = src.astype(jnp.float32) - crd
         exact = jnp.sum(diff * diff, axis=1)
         d2 = jnp.where(jnp.isfinite(d2), exact, d2)
         return idx, d2, jnp.minimum(lo, d2)
@@ -159,11 +160,11 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     key = nn_pallas._morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
     order = jnp.argsort(key, stable=True)
     n_active = jnp.sum(active.astype(jnp.int32))
-    idx_s, d2_s, lo_s, _ = nn_pallas.nearest_neighbors_pallas(
+    idx_s, d2_s, lo_s, _, crd_s = nn_pallas.nearest_neighbors_pallas(
         src[order], index, n_active, cap2)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    idx, d2, lo = idx_s[inv], d2_s[inv], lo_s[inv]
-    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+    idx, d2, lo, crd = idx_s[inv], d2_s[inv], lo_s[inv], crd_s[inv]
+    diff = src.astype(jnp.float32) - crd
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)
     lo = jnp.minimum(lo, d2)
@@ -176,7 +177,8 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
                                      active: jnp.ndarray, index, cap2=None,
                                      block_table=None, drift=None
                                      ) -> tuple[jnp.ndarray, jnp.ndarray,
-                                                jnp.ndarray, jnp.ndarray]:
+                                                jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
     """Subset 1-NN with NO row movement: ``src`` must already be spatially
     coherent (Morton order — incremental ICP permutes its cloud once, outside
     the while_loop), and rows stay in place.  The kernel skips whole blocks
@@ -204,17 +206,22 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
     first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :], (npad // b, b, 3))
     src_clean = jnp.where(actp[:, None], srcp,
                           first.reshape(npad, 3))
-    idx, d2, lo, d2nd = nn_pallas.nearest_neighbors_pallas(
+    idx, d2, lo, d2nd, crd = nn_pallas.nearest_neighbors_pallas(
         src_clean[:n], index, cap2=cap2, block_counts=counts,
         block_table=block_table, drift=drift)
-    diff = src.astype(jnp.float32) - tgt.astype(jnp.float32)[idx]
+    # exact d2 at the winner by direct subtraction of the kernel-returned
+    # winner coordinates — rows stay in place, so this path has NO gather at
+    # all (the ICP iteration's former hot glue)
+    diff = src.astype(jnp.float32) - crd
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)
     lo = jnp.minimum(lo, d2)
-    # fourth output: sound lower bound on the SECOND-nearest distance (winner
-    # certificates, ops/icp.py).  0.0 — never certifies — on inactive rows.
+    # d2nd: sound lower bound on the SECOND-nearest distance (winner
+    # certificates, ops/icp.py) — 0.0 (never certifies) on inactive rows;
+    # crd: winner coordinates (valid where d2 is finite)
     return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
-            jnp.where(active, lo, jnp.inf), jnp.where(active, d2nd, 0.0))
+            jnp.where(active, lo, jnp.inf), jnp.where(active, d2nd, 0.0),
+            jnp.where(active[:, None], crd, 0.0))
 
 
 def align_by_nearest(points: jnp.ndarray, reference: jnp.ndarray,

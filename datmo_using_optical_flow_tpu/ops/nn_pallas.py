@@ -154,8 +154,8 @@ def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
 
 def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
             cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref, d2nd_ref,
-            bd, bi, bl, bmax, s1, s2, sm2, s1t, bti, lb_s, to_s, sems,
-            *, m_tiles: int):
+            wx, wy, wz, bd, bi, bl, bmax, s1, s2, sm2, s1t, bti,
+            lb_s, to_s, sems, *, m_tiles: int):
     t = pl.program_id(0)
 
     # blocks with no active source row (na_ref[t] == 0) skip the target sweep
@@ -176,8 +176,8 @@ def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
         c2.wait()
         _kernel_body(t, cap_ref, lb_s, to_s, tgt_ref, tn_ref, tidx_ref, src_ref,
                      cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref,
-                     d2nd_ref, bd, bi, bl, bmax, s1, s2, sm2, s1t, bti,
-                     m_tiles=m_tiles)
+                     d2nd_ref, wx, wy, wz, bd, bi, bl, bmax, s1, s2, sm2,
+                     s1t, bti, m_tiles=m_tiles)
 
     @pl.when(na_ref[t] == 0)
     def _():
@@ -185,11 +185,15 @@ def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
         dd_ref[...] = jnp.full_like(dd_ref, jnp.inf)
         dl_ref[...] = jnp.full_like(dl_ref, jnp.inf)
         d2nd_ref[...] = jnp.full_like(d2nd_ref, jnp.inf)
+        wx[...] = jnp.zeros_like(wx)
+        wy[...] = jnp.zeros_like(wy)
+        wz[...] = jnp.zeros_like(wz)
 
 
 def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
                  cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref, d2nd_ref,
-                 bd, bi, bl, bmax, s1, s2, sm2, s1t, bti, *, m_tiles: int):
+                 wx, wy, wz, bd, bi, bl, bmax, s1, s2, sm2, s1t, bti,
+                 *, m_tiles: int):
     alpha = ALPHA_HILO if USE_HILO else ALPHA
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
@@ -217,6 +221,9 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
     sm2[...] = jnp.full_like(sm2, jnp.inf)
     s1t[...] = jnp.full_like(s1t, -1)
     bti[...] = jnp.full_like(bti, -2)       # != s1t init: no spurious match
+    wx[...] = jnp.zeros_like(wx)
+    wy[...] = jnp.zeros_like(wy)
+    wz[...] = jnp.zeros_like(wz)
     # capped search (ops/icp.py): rows are only owed an exact NN when their
     # true d2 < cap2; a tile provably farther than cap2 from every row is
     # skipped even while some row still has no candidate (bd=inf).  cap2=inf
@@ -292,9 +299,16 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         s2[...] = jnp.where(is_new_min, s1[...], jnp.minimum(s2[...], tl))
         s1t[...] = jnp.where(is_new_min, jt, s1t[...])
         s1[...] = jnp.where(is_new_min, tl, s1[...])
+        # winner COORDINATES via the (d2, index)-unique one-hot — callers get
+        # them without any post-hoc full-cloud gather (ops/icp.py carries
+        # them across iterations; exact d2 becomes an elementwise subtract)
+        msel = jnp.where((d2 == td) & (tidx == ti), 1.0, 0.0)
         bti[...] = jnp.where(take, jt, bti[...])
         bi[...] = jnp.where(take, ti, bi[...])
         bd[...] = jnp.where(take, td, bd[...])
+        for c, ref in enumerate((wx, wy, wz)):
+            sel = jnp.sum(msel * tile[c:c + 1, :], axis=1, keepdims=True)
+            ref[...] = jnp.where(take, sel, ref[...])
         bl[...] = jnp.minimum(bl[...], tl)
         bmax[0, 0] = jnp.minimum(jnp.max(bd[...] + sn), cap2)
         return j + 1
@@ -422,7 +436,7 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     centp = jnp.pad(cent, ((0, 0), (0, 5)))
     kernel = partial(_kernel, m_tiles=m_tiles)
-    idx, d2, lo, d2nd = pl.pallas_call(
+    idx, d2, lo, d2nd, wxo, wyo, wzo = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
         grid=(n_blocks,),
@@ -439,15 +453,13 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                                memory_space=pltpu.VMEM),   # coords on lanes
                   pl.BlockSpec((1, 8, 8), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],  # coords on sublanes
-        out_specs=(pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(pl.BlockSpec((_SRC_BLOCK, 1), lambda t: (t, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(7)),
         out_shape=(jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)),
@@ -471,7 +483,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
       index.packed, index.tn, index.tidx, srcf,
       jnp.broadcast_to(centp[:, None, :], (n_blocks, 8, 8)),
       jnp.broadcast_to(centp[:, :, None], (n_blocks, 8, 8)))
-    return idx[:n, 0], d2[:n, 0], lo[:n, 0], d2nd[:n, 0]
+    coords = jnp.concatenate([wxo, wyo, wzo], axis=1)[:n]
+    return idx[:n, 0], d2[:n, 0], lo[:n, 0], d2nd[:n, 0], coords
 
 
 def eligible(m: int) -> bool:

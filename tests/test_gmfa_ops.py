@@ -255,8 +255,9 @@ def test_nearest_neighbors_active_inplace_matches_full():
                                    stable=True))
     src_s = src[order]
     valid_s = (np.abs(src_s) < 1e8).all(axis=1)
-    i0, _, _, _ = map(np.asarray,
-                      nn_pallas.nearest_neighbors_pallas(jnp.asarray(src_s), index))
+    i0, _, _, _, _ = map(np.asarray,
+                         nn_pallas.nearest_neighbors_pallas(jnp.asarray(src_s),
+                                                            index))
     # the wrapper recomputes d2 by direct subtraction at the winner
     d0 = ((src_s - tgt[i0]) ** 2).sum(axis=1)
     # second-nearest bound oracle: distance to the true 2nd neighbor
@@ -264,9 +265,11 @@ def test_nearest_neighbors_active_inplace_matches_full():
     d2nd_true = (d2nd_true[:, 1] ** 2).astype(np.float32)
     for frac in (0.0, 0.4, 1.0):
         active = valid_s & (rng.uniform(size=n) < frac)
-        ia, da, la, b2a = map(np.asarray, nearest_neighbors_active_inplace(
+        ia, da, la, b2a, ca = map(np.asarray, nearest_neighbors_active_inplace(
             jnp.asarray(src_s), jnp.asarray(tgt), jnp.asarray(mask),
             jnp.asarray(active), index))
+        # winner coords match the indexed target rows exactly
+        np.testing.assert_array_equal(ca[active], tgt[ia[active]])
         np.testing.assert_array_equal(ia[active], i0[active])
         np.testing.assert_allclose(da[active], d0[active], rtol=3e-5, atol=1e-7)
         assert (la[active] <= da[active] + 1e-7).all()
@@ -293,13 +296,13 @@ def test_capped_sweep_dichotomy():
     order = np.asarray(jnp.argsort(nn_pallas._morton_keys(jnp.asarray(src)),
                                    stable=True))
     src_s = jnp.asarray(src[order])
-    i0, d0, l0, _ = map(np.asarray,
-                        nn_pallas.nearest_neighbors_pallas(src_s, index))
+    i0, d0, l0, _, _ = map(np.asarray,
+                           nn_pallas.nearest_neighbors_pallas(src_s, index))
     dist, _ = cKDTree(tgt[:4000]).query(src[order], k=1)
     true_d2 = (dist * dist).astype(np.float32)
     for cap in (0.5, 2.0, 8.0):
         cap2 = np.float32(cap * cap)
-        ic, dc, lc, b2c = map(np.asarray, nn_pallas.nearest_neighbors_pallas(
+        ic, dc, lc, b2c, _ = map(np.asarray, nn_pallas.nearest_neighbors_pallas(
             src_s, index, cap2=jnp.float32(cap2)))
         below = d0 < cap2 * (1.0 - 1e-4)  # clear of the cap's own f32 edge
         np.testing.assert_array_equal(ic[below], i0[below])
