@@ -186,79 +186,104 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     # ---- blur + solve strip t-1 from (tail, mcur, mtmp) ----
     @pl.when(t >= 1)
     def _():
-        # edge replication (BORDER_REPLICATE semantics of the unfused path,
-        # ops/farneback.py:box_blur5): above row 0 / below row h-1 the window
-        # replicates the edge M row.  Full-block ref rewrites keep the
-        # accumulation below unconditional (and sublane-aligned).
-        @pl.when(t == 1)
-        def _():
-            for c in range(5):
-                tail[c] = jnp.concatenate(
-                    [tail[c, 0:_TAIL - r, :],
-                     jnp.broadcast_to(mcur[c, 0:1, :], (r, wp))], axis=0)
-
-        @pl.when(t == n_strips)
-        def _():
-            for c in range(5):
-                if hv < s:
-                    mcur[c] = jnp.concatenate(
-                        [mcur[c, 0:hv, :],
-                         jnp.broadcast_to(mcur[c, hv - 1:hv, :], (s - hv, wp))],
-                        axis=0)
-                mtmp[c] = jnp.concatenate(
-                    [jnp.broadcast_to(mcur[c, hv - 1:hv, :], (r, wp)),
-                     mtmp[c, r:s, :]], axis=0)
-
-        winsize = len(taps)
-
-        def term(x, wgt):
-            return x if wgt == 1.0 else np.float32(wgt) * x
-
-        # per channel: vertical pass (output row i aggregates logical rows
-        # i-r..i+r of strip t-1: rows [-r, 0) live in tail[-r:], [0, s) in
-        # mcur, [s, s+r) in mtmp[:r]), then the horizontal pass with
-        # edge-replicated columns.  Taps accumulate in ascending order for BOTH
-        # box and Gaussian windows — the exact f32 grouping of the XLA path's
-        # box_blur5/gauss_blur5 (ops/farneback.py:304-319).  A log-tree window
-        # sum was ~2x fewer VPU adds but its different grouping blew past the
-        # EPE budget on ill-conditioned border pixels (0.12 px vs cv2; see
-        # BENCHMARKS.md "Flow accuracy") — cv2-order arithmetic everywhere
-        # keeps the whole fused path at the exact path's accuracy level.
-        # Each pass stages its window ONCE into a contiguous scratch (vcat /
-        # hcat) and accumulates static slices of it: same values and add order
-        # as slicing the pieces per tap, but ~winsize x fewer concat ops in
-        # the Mosaic IR (compile time) and bounded live temporaries (the
-        # scoped-VMEM stack).
-        for c in range(5):
-            vcat[...] = jnp.concatenate(
-                [tail[c, _TAIL - r:_TAIL, :], mcur[c], mtmp[c, 0:r, :],
-                 jnp.zeros((vcat.shape[0] - (s + 2 * r), wp), jnp.float32)],
-                axis=0)
-            for k in range(winsize):
-                contrib = term(vcat[k:k + s, :], taps[k])
-                vacc[...] = contrib if k == 0 else vacc[...] + contrib
-
-            hcat[...] = jnp.concatenate(
-                [jnp.broadcast_to(vacc[:, 0:1], (s, r)), vacc[:, 0:w],
-                 jnp.broadcast_to(vacc[:, w - 1:w], (s, hcat.shape[1] - w - r))],
-                axis=1)
-            for k in range(winsize):
-                contrib = term(hcat[:, k:k + w], taps[k])
-                mbb[c] = contrib if k == 0 else mbb[c] + contrib
-
-        g11 = mbb[0] * np.float32(scale)
-        g12 = mbb[1] * np.float32(scale)
-        g22 = mbb[2] * np.float32(scale)
-        h1 = mbb[3] * np.float32(scale)
-        h2 = mbb[4] * np.float32(scale)
-        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-        odx_ref[...] = (g11 * h2 - g12 * h1) * idet
-        ody_ref[...] = (g22 * h1 - g12 * h2) * idet
+        blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb,
+                         odx_ref, ody_ref, t, taps=taps, scale=scale,
+                         n_strips=n_strips, w=w, wp=wp, s=s, hv=hv)
 
     # ---- ring shift: tail <- mcur's last rows, mcur <- mtmp ----
     for c in range(5):
         tail[c] = mcur[c, s - _TAIL:s, :]
         mcur[c] = mtmp[c]
+
+
+def blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb, odx_ref, ody_ref,
+                     t, *, taps: tuple[float, ...], scale: float, n_strips: int,
+                     w: int, wp: int, s: int, hv: int):
+    """Window-aggregate + 2x2 solve of strip ``t - 1`` from the three-strip
+    M ring (tail of t-2, mcur = t-1, mtmp = t), writing the flow components.
+    Shared by the per-iteration fused kernel above and the multi-iteration
+    wavefront kernel (ops/flow_wavefront.py); ``t`` is the LEVEL-LOCAL warp
+    strip index (caller guards t >= 1)."""
+    r = len(taps) // 2
+
+    # edge replication (BORDER_REPLICATE semantics of the unfused path,
+    # ops/farneback.py:box_blur5): above row 0 / below row h-1 the window
+    # replicates the edge M row.  Full-block ref rewrites keep the
+    # accumulation below unconditional (and sublane-aligned).
+    @pl.when(t == 1)
+    def _():
+        for c in range(5):
+            tail[c] = jnp.concatenate(
+                [tail[c, 0:_TAIL - r, :],
+                 jnp.broadcast_to(mcur[c, 0:1, :], (r, wp))], axis=0)
+
+    @pl.when(t == n_strips)
+    def _():
+        for c in range(5):
+            if hv < s:
+                mcur[c] = jnp.concatenate(
+                    [mcur[c, 0:hv, :],
+                     jnp.broadcast_to(mcur[c, hv - 1:hv, :], (s - hv, wp))],
+                    axis=0)
+            mtmp[c] = jnp.concatenate(
+                [jnp.broadcast_to(mcur[c, hv - 1:hv, :], (r, wp)),
+                 mtmp[c, r:s, :]], axis=0)
+
+    winsize = len(taps)
+
+    def term(x, wgt):
+        return x if wgt == 1.0 else np.float32(wgt) * x
+
+    # per channel: vertical pass (output row i aggregates logical rows
+    # i-r..i+r of strip t-1: rows [-r, 0) live in tail[-r:], [0, s) in
+    # mcur, [s, s+r) in mtmp[:r]), then the horizontal pass with
+    # edge-replicated columns.  Taps accumulate in ascending order for BOTH
+    # box and Gaussian windows — the exact f32 grouping of the XLA path's
+    # box_blur5/gauss_blur5 (ops/farneback.py:304-319).  A log-tree window
+    # sum was ~2x fewer VPU adds but its different grouping blew past the
+    # EPE budget on ill-conditioned border pixels (0.12 px vs cv2; see
+    # BENCHMARKS.md "Flow accuracy") — cv2-order arithmetic everywhere
+    # keeps the whole fused path at the exact path's accuracy level.
+    # Each pass stages its window ONCE into a contiguous scratch (vcat /
+    # hcat) and accumulates static slices of it: same values and add order
+    # as slicing the pieces per tap, but ~winsize x fewer concat ops in
+    # the Mosaic IR (compile time) and bounded live temporaries (the
+    # scoped-VMEM stack).
+    for c in range(5):
+        vcat[...] = jnp.concatenate(
+            [tail[c, _TAIL - r:_TAIL, :], mcur[c], mtmp[c, 0:r, :],
+             jnp.zeros((vcat.shape[0] - (s + 2 * r), wp), jnp.float32)],
+            axis=0)
+        for k in range(winsize):
+            contrib = term(vcat[k:k + s, :], taps[k])
+            vacc[...] = contrib if k == 0 else vacc[...] + contrib
+
+        hcat[...] = jnp.concatenate(
+            [jnp.broadcast_to(vacc[:, 0:1], (s, r)), vacc[:, 0:w],
+             jnp.broadcast_to(vacc[:, w - 1:w], (s, hcat.shape[1] - w - r))],
+            axis=1)
+        for k in range(winsize):
+            contrib = term(hcat[:, k:k + w], taps[k])
+            mbb[c] = contrib if k == 0 else mbb[c] + contrib
+
+    g11 = mbb[0] * np.float32(scale)
+    g12 = mbb[1] * np.float32(scale)
+    g22 = mbb[2] * np.float32(scale)
+    h1 = mbb[3] * np.float32(scale)
+    h2 = mbb[4] * np.float32(scale)
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    vx = (g11 * h2 - g12 * h1) * idet
+    vy = (g22 * h1 - g12 * h2) * idet
+    if odx_ref.shape[1] == w:
+        odx_ref[...] = vx
+        ody_ref[...] = vy
+    else:
+        # wider (lane-padded) refs — the wavefront's intermediate flow
+        # buffers: pad columns are written ZERO so the next level's warp
+        # shift bounds stay well-behaved (matching the padded HBM inputs)
+        zpad = jnp.zeros((s, odx_ref.shape[1] - w), jnp.float32)
+        odx_ref[...] = jnp.concatenate([vx, zpad], axis=1)
+        ody_ref[...] = jnp.concatenate([vy, zpad], axis=1)
 
 
 def fused_iteration(R0: jnp.ndarray, R1_padded: jnp.ndarray, dx: jnp.ndarray,
@@ -342,11 +367,30 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
     Small levels stay entirely on the XLA packed-gather path — their gathers
     are cheap and the strip-grid overhead would dominate.
     """
-    from datmo_using_optical_flow_tpu.ops import warp_pallas
+    from datmo_using_optical_flow_tpu.ops import flow_wavefront, warp_pallas
     from datmo_using_optical_flow_tpu.ops.farneback import (pack_corner_pairs,
                                                             update_matrices)
 
     _, h, w = R0.shape
+    if flow_wavefront.ENABLED and flow_wavefront.eligible(h, w):
+        # all K iterations in ONE kernel: R0/R1 read once, intermediate
+        # flows never leave VMEM.  Falls back to the exact packed-gather
+        # path for the whole level when any intermediate flow leaves the
+        # warp window (the kernel flags it; results are then discarded).
+        r1p = warp_pallas._pad_r1(R1, s=FS)
+        ox, oy, exceeded = flow_wavefront.wavefront_iterations(
+            R0, r1p, dx, dy, winsize, iterations, gaussian)
+
+        def slow_all(args):
+            dxi, dyi = args
+            packed = pack_corner_pairs(R1)
+            for _ in range(iterations):
+                m = update_matrices(R0, R1, dxi, dyi, packed)
+                dxi, dyi = blur_solve(m, winsize, gaussian)
+            return dxi, dyi
+
+        return jax.lax.cond(exceeded, slow_all, lambda a: (ox, oy), (dx, dy))
+
     if warp_pallas.eligible(h, w):
         r1p = warp_pallas._pad_r1(R1, s=FS)
 

@@ -62,7 +62,8 @@ def _axis_atten(idx_f: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
-               wp: int, ww: int, s: int, t, rowbuf=None, phase=None):
+               wp: int, ww: int, s: int, t, rowbuf=None, phase=None,
+               clip_ref=None):
     """Shift-decomposition warp + update_matrices algebra for one ``s``-row
     strip starting at row ``t*s``; writes the five M planes into ``m_ref``
     (any (5, s, wp)-shaped ref).  ``copy`` is the in-flight R1-window DMA
@@ -105,6 +106,18 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     a11 = fy * fx
 
     inside = (x1a >= 0) & (x1a < w - 1) & (y1a >= 0) & (y1a < h - 1)
+
+    if clip_ref is not None:
+        # in-kernel out-of-range detection (the wavefront kernel cannot check
+        # intermediate flows outside): a clipped shift only corrupts INSIDE
+        # pixels (outside ones take the r0 fallback regardless), so flag
+        # exactly those — the caller recomputes the whole level on the exact
+        # path when any strip flags.
+        oob = ((y1 < AMIN) | (y1 > AMAX) | (x1 < BMIN) | (x1 > BMAX)) & inside
+
+        @pl.when(jnp.any(oob))
+        def _():
+            clip_ref[0, 0] = jnp.int32(1)
 
     # clip shifts to window capability (out-of-range pixels are ~inside or the
     # caller took the fallback branch)
