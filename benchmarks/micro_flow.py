@@ -134,6 +134,28 @@ def main():
 
     timed("blur_solve standalone", run_blur2, m0)
 
+    # --- wavefront: all 5 iterations in one kernel (per-iteration-equivalent
+    # time = total / 5 for comparison with fused_iteration) ---
+    from datmo_using_optical_flow_tpu.ops import flow_wavefront
+
+    @jax.jit
+    def run_wave(r0, r1pad, d0x, d0y):
+        dxx, dyy = d0x, d0y
+        for _ in range(REPS):
+            a, b, _exc = flow_wavefront.wavefront_iterations(
+                r0, r1pad, dxx, dyy, fb.winsize, fb.iterations, False)
+            dxx = _chain(a, d0x)
+            dyy = _chain(b, d0y)
+        return dxx, dyy
+
+    try:
+        dt = timed("wavefront x5 iters (real flow)", run_wave, R0, r1p_fs,
+                   dxr, dyr)
+        print(f"{'':42s} {dt / fb.iterations:8.2f} ms/iteration-equivalent",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"wavefront FAILED: {type(e).__name__}: {e}", flush=True)
+
     # --- XLA packed-gather update_matrices (for reference) ---
     packed = jax.jit(pack_corner_pairs)(R1)
 
