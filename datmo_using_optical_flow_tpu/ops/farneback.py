@@ -19,7 +19,6 @@ arrays internally; the public API returns OpenCV-compatible ``(H, W, 2)``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

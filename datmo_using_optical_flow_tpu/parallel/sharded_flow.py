@@ -146,8 +146,7 @@ def sharded_farneback_flow(img1_block: jnp.ndarray, img2_block: jnp.ndarray,
     ``warp_halo`` rows.
     """
     from datmo_using_optical_flow_tpu.oracle.np_farneback import level_sizes
-    from datmo_using_optical_flow_tpu.ops.farneback import (_farneback_impl,
-                                                            gaussian_blur,
+    from datmo_using_optical_flow_tpu.ops.farneback import (gaussian_blur,
                                                             resize_bilinear)
 
     hl, w = img1_block.shape
