@@ -177,6 +177,7 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
         warp_pallas._warp_into(mtmp, win, r0_ref, dx_ref, dy_ref, None,
                                h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf,
                                phase=phase)
+        replicate_last_strip_pad(mtmp, t, n_strips=n_strips, hv=hv, s=s, wp=wp)
 
     # ---- prefetch strip t+1's new rows (they overwrite strip t's oldest) ----
     @pl.when(t < n_strips - 1)
@@ -194,6 +195,26 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     for c in range(5):
         tail[c] = mcur[c, s - _TAIL:s, :]
         mcur[c] = mtmp[c]
+
+
+def replicate_last_strip_pad(mtmp, t, *, n_strips: int, hv: int, s: int,
+                             wp: int):
+    """Edge-replicate the LAST strip's pad rows of M right after its warp.
+
+    The XLA blur pads M with mode="edge" (rows >= h replicate row h-1); the
+    strip kernels' t==n_strips drain branch replicates for the final strip's
+    OWN blur, but the blur of strip n_strips-2 also reads mtmp[0:r] — when
+    the last strip has fewer valid rows than the blur radius (h % FS < r),
+    rows hv..r-1 would otherwise be the warp's zeros.  Idempotent with the
+    drain-branch replication."""
+    if hv < s:
+        @pl.when(t == n_strips - 1)
+        def _():
+            for c in range(5):
+                mtmp[c] = jnp.concatenate(
+                    [mtmp[c, 0:hv, :],
+                     jnp.broadcast_to(mtmp[c, hv - 1:hv, :], (s - hv, wp))],
+                    axis=0)
 
 
 def blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb, odx_ref, ody_ref,

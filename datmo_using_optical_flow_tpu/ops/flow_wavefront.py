@@ -45,9 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 ENABLED = os.environ.get("DATMO_WAVEFRONT", "0") == "1"
 
 from datmo_using_optical_flow_tpu.ops import warp_pallas
-from datmo_using_optical_flow_tpu.ops.flow_pallas import (FS, _TAIL,
-                                                          _gauss_taps,
-                                                          blur_solve_strip)
+from datmo_using_optical_flow_tpu.ops.flow_pallas import (
+    FS, _TAIL, _gauss_taps, blur_solve_strip, replicate_last_strip_pad)
 
 # VMEM budget at 1080p/K=5 is ~55 MB of rings+windows+temps; the chip's
 # physical VMEM must cover it (the guide's 16 MB is the scheduling default,
@@ -145,6 +144,8 @@ def _wave_kernel(r1_hbm, r0_hbm, dx0_ref, dy0_ref, odx_ref, ody_ref, flag_ref,
                 mtmps[k], wins[k], r0ring.at[t % r0s], dxr, dyr, None,
                 h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf,
                 phase=(t % 2) * s, clip_ref=flag_ref)
+            replicate_last_strip_pad(mtmps[k], t, n_strips=n_strips, hv=hv,
+                                     s=s, wp=wp)
 
         @pl.when((t >= 1) & (t <= n_strips))
         def _(k=k, t=t):

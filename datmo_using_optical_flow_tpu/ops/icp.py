@@ -76,15 +76,10 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         # rigidly between iterations, so each sweep reuses it with the
         # max-displacement pad (order-preserving scalar subtraction) instead
         # of recomputing block-ball norms + a row argsort per iteration.
-        # Invalid rows are rewritten to their block's first row so boundary
-        # blocks' balls stay tight (same fill the in-place query applies).
-        b = nn_pallas._SRC_BLOCK
-        npad = -(-n // b) * b
-        srcp = jnp.pad(srcf, ((0, npad - n), (0, 0)), mode="edge")
-        maskp = jnp.pad(smask, (0, npad - n))
-        first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :],
-                                 (npad // b, b, 3)).reshape(npad, 3)
-        src_build = jnp.where(maskp[:, None], srcp, first)[:n]
+        # Invalid rows are rewritten by the SAME fill the in-place query
+        # applies (nn_pallas.block_first_fill) so boundary blocks' balls
+        # stay tight and consistent with the drift-soundness argument.
+        src_build = nn_pallas.block_first_fill(srcf, smask, n)[:n]
         block_table = nn_pallas.build_block_table(src_build, tgt_index, n)
 
     def eval_full(transform, cache):

@@ -201,11 +201,7 @@ def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,
     # balls tight — excluded or invalid (padded 1e9-coord) rows would
     # otherwise inflate the ball and defeat the tile pruning.  Sound: the
     # rows whose results are kept are unmodified and inside the ball.
-    srcp = jnp.pad(src.astype(jnp.float32), ((0, npad - n), (0, 0)),
-                   mode="edge")
-    first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :], (npad // b, b, 3))
-    src_clean = jnp.where(actp[:, None], srcp,
-                          first.reshape(npad, 3))
+    src_clean = nn_pallas.block_first_fill(src, active, n)
     idx, d2, lo, d2nd, crd = nn_pallas.nearest_neighbors_pallas(
         src_clean[:n], index, cap2=cap2, block_counts=counts,
         block_table=block_table, drift=drift)

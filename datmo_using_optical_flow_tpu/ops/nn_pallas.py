@@ -331,6 +331,25 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         jnp.minimum(second + (1.0 - alpha) * sn - alpha, floor_abs), 0.0)
 
 
+def block_first_fill(src: jnp.ndarray, keep: jnp.ndarray,
+                     n: int | None = None) -> jnp.ndarray:
+    """Rewrite rows where ``keep`` is False to their _SRC_BLOCK-block's FIRST
+    row's coordinates (array tail padded with edge rows).  Returns the padded
+    (npad, 3) cloud.  The block-table build (ops/icp.py) and the in-place
+    subset query (ops/nn.py) MUST share this fill: the drift-padded pruning
+    bound assumes query-time block balls sit inside build-time balls, which
+    holds only if both sides choose the same representative rows."""
+    n = src.shape[0] if n is None else n
+    b = _SRC_BLOCK
+    npad = -(-n // b) * b
+    srcp = jnp.pad(src.astype(jnp.float32)[:n], ((0, npad - n), (0, 0)),
+                   mode="edge")
+    keepp = jnp.pad(keep[:n], (0, npad - n))
+    first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :],
+                             (npad // b, b, 3)).reshape(npad, 3)
+    return jnp.where(keepp[:, None], srcp, first)
+
+
 def build_block_table(src: jnp.ndarray, index: TargetIndex,
                       n: int | None = None
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -371,13 +390,18 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                              block_counts: jnp.ndarray | None = None,
                              block_table=None, drift=None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                                        jnp.ndarray]:
+                                        jnp.ndarray, jnp.ndarray]:
     """1-NN of each ``src`` row among the index's valid targets.
 
-    Returns ``(idx, sqdist, sqdist_lower_bound)`` — idx in ORIGINAL target
-    numbering with first-min tie-breaking; idx=0 / +inf when no valid target.
-    The bound is sound (true min d2 >= bound), tight when sources arrive
-    spatially sorted (see :func:`ops.nn.nearest_neighbors_with_bound`).
+    Returns ``(idx, sqdist, sqdist_lower_bound, second_lower_bound, coords)``:
+    idx in ORIGINAL target numbering with first-min tie-breaking (0 when no
+    valid target, sqdist +inf); both bounds are SOUND (true value >= bound),
+    tight when sources arrive spatially sorted
+    (:func:`ops.nn.nearest_neighbors_with_bound`).  ``second_lower_bound``
+    bounds the distance to the closest target EXCLUDING the winner (+inf on
+    skipped blocks) — the ICP winner-certificate input.  ``coords`` are the
+    winner's exact (x, y, z) selected in-kernel (zeros when no candidate) so
+    callers need no post-hoc target gather.
 
     ``n_active`` (scalar int32): only the first ``n_active`` source rows are
     queried; whole source blocks past it skip the sweep (idx=0 / +inf out).

@@ -124,8 +124,11 @@ def test_fused_iteration_matches_two_kernel_path():
                                                               fused_iteration)
 
     rng = np.random.default_rng(9)
+    # 130: h % FS = 2 < winsize//2 — the last strip's pad rows must be
+    # edge-replicated for the SECOND-to-last strip's blur too (round-3
+    # review finding; replicate_last_strip_pad)
     for h, w, win, gaussian in ((160, 384, 15, False), (140, 300, 15, False),
-                                (132, 384, 7, True)):
+                                (132, 384, 7, True), (130, 384, 15, False)):
         R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
         R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
         dxn, dyn = _smooth_flow(h, w, seed=h)

@@ -98,7 +98,13 @@ def test_wavefront_full_flow_matches_default_path(monkeypatch):
     ref = np.asarray(farneback.farneback_flow(im1, im2, cfg, use_pallas=True))
     monkeypatch.setattr(flow_wavefront, "ENABLED", True)
     jax.clear_caches()  # ENABLED is read at trace time; drop stale executables
-    got = np.asarray(farneback.farneback_flow(im1, im2, cfg, use_pallas=True))
+    try:
+        got = np.asarray(farneback.farneback_flow(im1, im2, cfg, use_pallas=True))
+    finally:
+        # drop the wavefront-traced executables too, or later tests calling
+        # the same jitted signature would silently run the wavefront path
+        # after the monkeypatch restores ENABLED=False
+        jax.clear_caches()
     epe = np.linalg.norm(got - ref, axis=-1)
     assert epe.max() < 1e-4, epe.max()
 

@@ -300,6 +300,8 @@ def test_capped_sweep_dichotomy():
                            nn_pallas.nearest_neighbors_pallas(src_s, index))
     dist, _ = cKDTree(tgt[:4000]).query(src[order], k=1)
     true_d2 = (dist * dist).astype(np.float32)
+    d2nd_cap, _ = cKDTree(tgt[:4000]).query(np.asarray(src_s), k=2)
+    d2nd_cap = (d2nd_cap[:, 1] ** 2).astype(np.float32)
     for cap in (0.5, 2.0, 8.0):
         cap2 = np.float32(cap * cap)
         ic, dc, lc, b2c, _ = map(np.asarray, nn_pallas.nearest_neighbors_pallas(
@@ -313,9 +315,7 @@ def test_capped_sweep_dichotomy():
         assert (lc <= true_d2 + 1e-5 * (1.0 + true_d2)).all()
         assert (lc <= cap2 + 1e-6).all()
         # the second-nearest bound stays sound under capping too
-        d2nd, _ = cKDTree(tgt[:4000]).query(np.asarray(src_s), k=2)
-        d2nd = (d2nd[:, 1] ** 2).astype(np.float32)
-        assert (b2c <= d2nd + 1e-5 * (1.0 + d2nd)).all()
+        assert (b2c <= d2nd_cap + 1e-5 * (1.0 + d2nd_cap)).all()
 
 
 def test_icp_capped_matches_uncapped():
