@@ -24,9 +24,9 @@ def _coeff_planes(h, w, seed):
     return p1[-1], p2[-1]
 
 
-@pytest.mark.parametrize("iters", [1, 2, 5])
-def test_wavefront_matches_chained_fused(iters):
-    h, w = 160, 256
+@pytest.mark.parametrize("iters,h,w", [(1, 160, 256), (2, 160, 256),
+                                       (5, 160, 256), (3, 130, 300)])
+def test_wavefront_matches_chained_fused(iters, h, w):
     R0, R1 = _coeff_planes(h, w, seed=7)
     rng = np.random.default_rng(1)
     dx = jnp.asarray(rng.uniform(-2, 2, size=(h, w)).astype(np.float32))
