@@ -132,6 +132,13 @@ def main() -> None:
         p, pm, c, cm, cfg.icp.threshold, cfg.icp.max_iterations,
         cfg.icp.relative_fitness, cfg.icp.relative_rmse).transformation)
     timeit(icp, prev, prev_m, cur, cur_m, label="ICP (while_loop to convergence)")
+    res = jax.jit(lambda p, pm, c, cm: registration_icp(
+        p, pm, c, cm, cfg.icp.threshold, cfg.icp.max_iterations,
+        cfg.icp.relative_fitness, cfg.icp.relative_rmse))(prev, prev_m, cur, cur_m)
+    sw, ce, ex = (float(x) for x in res.sweep_stats)
+    it = int(res.iterations)
+    log(f"  ICP sweep stats over {it} iters: swept {sw:.0f} "
+        f"({sw / max(it, 1):.0f}/iter), certified {ce:.0f}, excluded {ex:.0f}")
     tr = jax.jit(lambda p: transform_points(p, jnp.eye(4)))(prev)
     nn = jax.jit(lambda c, p, pm: nearest_neighbors(c, p, pm)[0])
     timeit(nn, cur, tr, prev_m, label=f"1-NN {n_exp}x{n_exp} (tiled MXU)")

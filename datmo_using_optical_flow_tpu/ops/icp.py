@@ -34,6 +34,10 @@ class IcpResult(NamedTuple):
     fitness: jnp.ndarray         # scalar: |correspondences| / |valid source|
     inlier_rmse: jnp.ndarray     # scalar
     iterations: jnp.ndarray = jnp.asarray(0)  # while_loop steps taken (diagnostic)
+    # (3,) totals over all iterations of [swept rows, certificate-kept rows,
+    # exclusion-shell-skipped rows] — diagnostics for the incremental-search
+    # machinery (zeros on the uncached path)
+    sweep_stats: jnp.ndarray = jnp.zeros((3,), jnp.float32)
 
 
 def _kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -93,7 +97,9 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         diff = pts - dst
         d2 = jnp.sum(diff * diff, axis=1)
         corr = smask & (d2 <= thr2)
-        return pts, dst, d2, corr, cache
+        counts = jnp.stack([jnp.sum(smask.astype(jnp.float32)),
+                            jnp.float32(0.0), jnp.float32(0.0)])
+        return pts, dst, d2, corr, cache, counts
 
     def eval_cached(transform, cache):
         lo_old, qw, qpos, b2_old = cache
@@ -147,7 +153,10 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
                  dst,
                  jnp.where((need | certified)[:, None], pts, qpos),
                  jnp.where(need, b2_fresh, jnp.where(certified, b2_dec2, b2_old)))
-        return pts, dst, d2, corr, cache
+        counts = jnp.stack([jnp.sum(need.astype(jnp.float32)),
+                            jnp.sum(certified.astype(jnp.float32)),
+                            jnp.sum((smask & excluded).astype(jnp.float32))])
+        return pts, dst, d2, corr, cache, counts
 
     eval_state = eval_cached if cached else eval_full
 
@@ -165,24 +174,29 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
                (jnp.abs(r0 - r1) >= relative_rmse)
         return (it < max_iterations) & (first | keep)
 
+    def cond2(state):
+        return cond(state[:-1])
+
     def body(state):
-        transform, f1, r1, f0, r0, it, cache = state
-        pts, dst, d2, corr, cache = eval_state(transform, cache)
+        transform, f1, r1, f0, r0, it, cache, stats = state
+        pts, dst, d2, corr, cache, counts = eval_state(transform, cache)
         w, cnt, fitness, rmse = observables(d2, corr)
         update = _kabsch(pts, dst, w)
         # fewer than 3 correspondences: no reliable estimate; keep transform
         update = jnp.where(cnt >= 3, update, jnp.eye(4))
         new_transform = update @ transform
-        return new_transform, fitness, rmse, f1, r1, it + 1, cache
+        return (new_transform, fitness, rmse, f1, r1, it + 1, cache,
+                stats + counts)
 
     cache0 = (jnp.zeros((n,), jnp.float32),            # d2 lower bound at last query
               jnp.zeros((n, 3), jnp.float32),          # winner COORDS at last query
               jnp.full((n, 3), 1e9, jnp.float32),      # last query position
               jnp.zeros((n,), jnp.float32))            # second-NN d2 lower bound
     init = (init_transform, jnp.float32(0.0), jnp.float32(0.0),
-            jnp.float32(-1.0), jnp.float32(-1.0), 0, cache0)
-    transform, _, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return transform, it, eval_state, observables, cache0
+            jnp.float32(-1.0), jnp.float32(-1.0), 0, cache0,
+            jnp.zeros((3,), jnp.float32))
+    transform, _, _, _, _, it, _, stats = jax.lax.while_loop(cond2, body, init)
+    return transform, it, eval_state, observables, cache0, stats
 
 
 # targets at or above this size default to incremental correspondence search
@@ -284,17 +298,17 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     it_c = jnp.asarray(0)
     if coarse_stride > 1:
         cs = coarse_stride
-        t0, it_c, _, _, _ = _icp_phase(srcf[::cs], smask[::cs], tgtf[::cs],
+        t0, it_c, _, _, _, _ = _icp_phase(srcf[::cs], smask[::cs], tgtf[::cs],
                                        target_mask[::cs], thr2, relative_fitness,
                                        relative_rmse, max_iterations, t0,
                                        cached=False)
 
-    transform, it_f, eval_state, observables, cache0 = _icp_phase(
+    transform, it_f, eval_state, observables, cache0, stats = _icp_phase(
         srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
         max_iterations, t0, cached, tgt_index=tgt_index, cap2=cap2)
-    _, _, d2, corr, _ = eval_state(transform, cache0)
+    _, _, d2, corr, _, _ = eval_state(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
-    return IcpResult(transform, fitness, rmse, it_c + it_f)
+    return IcpResult(transform, fitness, rmse, it_c + it_f, stats)
 
 
 def transform_points(points: jnp.ndarray, transformation: jnp.ndarray) -> jnp.ndarray:
