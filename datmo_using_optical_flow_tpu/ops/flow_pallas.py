@@ -394,13 +394,21 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
 
     _, h, w = R0.shape
     if flow_wavefront.ENABLED and flow_wavefront.eligible(h, w):
-        # all K iterations in ONE kernel: R0/R1 read once, intermediate
-        # flows never leave VMEM.  Falls back to the exact packed-gather
-        # path for the whole level when any intermediate flow leaves the
-        # warp window (the kernel flags it; results are then discarded).
+        # iterations fused into wavefront passes of <= MAX_K each: R0/R1
+        # read once per pass, intermediate flows never leave VMEM.  Falls
+        # back to the exact packed-gather path for the whole level when any
+        # intermediate flow leaves the warp window (the kernel flags it;
+        # results are then discarded).
         r1p = warp_pallas._pad_r1(R1, s=FS)
-        ox, oy, exceeded = flow_wavefront.wavefront_iterations(
-            R0, r1p, dx, dy, winsize, iterations, gaussian)
+        ox, oy = dx, dy
+        exceeded = jnp.asarray(False)
+        left = iterations
+        while left > 0:
+            kk = min(left, flow_wavefront.MAX_K)
+            ox, oy, exc = flow_wavefront.wavefront_iterations(
+                R0, r1p, ox, oy, winsize, kk, gaussian)
+            exceeded = exceeded | exc
+            left -= kk
 
         def slow_all(args):
             dxi, dyi = args

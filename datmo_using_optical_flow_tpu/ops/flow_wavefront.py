@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Opt-in until the target chip validates the VMEM footprint + schedule
 # (flip the default after the on-chip A/B; DATMO_WAVEFRONT=0/1 overrides).
 ENABLED = os.environ.get("DATMO_WAVEFRONT", "0") == "1"
+# Iterations fused per pallas_call: VMEM scales ~linearly with K (rings, M
+# state, windows; ~55 MB at 1080p/K=5).  If the chip rejects the footprint,
+# lower MAX_K (e.g. 3 -> ~33 MB) — farneback_level then runs ceil(iters/K)
+# passes, each still reading R0/R1 once.
+MAX_K = int(os.environ.get("DATMO_WAVEFRONT_K", "5"))
 
 from datmo_using_optical_flow_tpu.ops import warp_pallas
 from datmo_using_optical_flow_tpu.ops.flow_pallas import (
