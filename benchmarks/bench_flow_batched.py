@@ -79,4 +79,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from datmo_using_optical_flow_tpu.utils.backend_probe import guard_main
+    guard_main(main, metric="batched_farneback_fps_720p_x8", unit="frames/s")

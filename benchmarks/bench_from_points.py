@@ -97,4 +97,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from datmo_using_optical_flow_tpu.utils.backend_probe import guard_main
+    guard_main(main, metric="from_pcd_fps", unit="frames/s")

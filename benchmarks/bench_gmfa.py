@@ -184,4 +184,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from datmo_using_optical_flow_tpu.utils.backend_probe import guard_main
+    guard_main(main, metric="gmfa_fps_reference_load", unit="frames/s")

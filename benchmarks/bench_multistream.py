@@ -91,4 +91,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from datmo_using_optical_flow_tpu.utils.backend_probe import guard_main
+    guard_main(main, metric="multistream_datmo_fps_4x1080p_single_chip", unit="frames/s")

@@ -148,4 +148,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from datmo_using_optical_flow_tpu.utils.backend_probe import guard_main
+    guard_main(main, metric="profile_gmfa_nn", unit="diagnostic")

@@ -47,7 +47,9 @@ ENABLED = os.environ.get("DATMO_WAVEFRONT", "0") == "1"
 # state, windows; ~55 MB at 1080p/K=5).  If the chip rejects the footprint,
 # lower MAX_K (e.g. 3 -> ~33 MB) — farneback_level then runs ceil(iters/K)
 # passes, each still reading R0/R1 once.
-MAX_K = int(os.environ.get("DATMO_WAVEFRONT_K", "5"))
+# clamped: 0/negative would make farneback_level's chunking loop never
+# decrement (trace-time hang)
+MAX_K = max(1, int(os.environ.get("DATMO_WAVEFRONT_K", "5")))
 
 from datmo_using_optical_flow_tpu.ops import warp_pallas
 from datmo_using_optical_flow_tpu.ops.flow_pallas import (
@@ -78,7 +80,13 @@ def _wave_kernel(r1_hbm, r0_hbm, dx0_ref, dy0_ref, odx_ref, ody_ref, flag_ref,
     r1s = K + 3                     # R1 ring slots (overwrite-safety margin)
     r0s = K + 1
     hv = h - (n_strips - 1) * s     # valid rows of the last strip (static)
-    flag_ref[0, 0] = jnp.int32(0)
+
+    # single (1, 1) SMEM accumulator with a CONSTANT index map (Mosaic rejects
+    # grid-blocked (1, 1) slices of a (grid, 1) array): init once, sticky-set
+    # by any grid step's out-of-range detection
+    @pl.when(g == 0)
+    def _():
+        flag_ref[0, 0] = jnp.int32(0)
 
     def r1_strip_copy(j, sem):
         """HBM padded-R1 rows [j*s, (j+1)*s) -> big ring slot j % r1s."""
@@ -245,14 +253,14 @@ def wavefront_iterations(R0: jnp.ndarray, R1_padded: jnp.ndarray,
                    pl.BlockSpec((s, w),
                                 lambda g: (jnp.clip(g - K, 0, n_strips - 1), 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda g: (g, 0),
+                   pl.BlockSpec((1, 1), lambda g: (0, 0),
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((hp, w), jnp.float32),
                    jax.ShapeDtypeStruct((hp, w), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         scratch_shapes=scratch,
     )(R1_padded, r0p, pad_hw(dx), pad_hw(dy))
-    return odx[:h], ody[:h], jnp.any(flags > 0)
+    return odx[:h], ody[:h], flags[0, 0] > 0
 
 
 def eligible(h: int, w: int, n_levels_hint: int = 0) -> bool:

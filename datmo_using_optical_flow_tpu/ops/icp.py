@@ -284,8 +284,10 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
             # run the whole loop in Morton-permuted source space: fitness,
             # rmse, and Kabsch are permutation-invariant reductions, and
             # per-iteration re-queries then skip whole inactive blocks in
-            # place
-            morder = (jnp.argsort(nn_pallas._morton_keys(srcf), stable=True)
+            # place.  sort_order masks invalid rows to the END — an unmasked
+            # key would let sentinel/padding coords sort mid-cloud and land
+            # as a block's recentering representative (precision at the gate).
+            morder = (nn_pallas.sort_order(srcf, smask)
                       if src_order is None else src_order)
             srcf = srcf[morder]
             smask = smask[morder]

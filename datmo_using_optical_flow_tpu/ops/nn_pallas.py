@@ -333,21 +333,30 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
 
 def block_first_fill(src: jnp.ndarray, keep: jnp.ndarray,
                      n: int | None = None) -> jnp.ndarray:
-    """Rewrite rows where ``keep`` is False to their _SRC_BLOCK-block's FIRST
-    row's coordinates (array tail padded with edge rows).  Returns the padded
-    (npad, 3) cloud.  The block-table build (ops/icp.py) and the in-place
-    subset query (ops/nn.py) MUST share this fill: the drift-padded pruning
-    bound assumes query-time block balls sit inside build-time balls, which
-    holds only if both sides choose the same representative rows."""
+    """Rewrite rows where ``keep`` is False to their _SRC_BLOCK-block's first
+    ACTIVE row's coordinates (array tail padded with edge rows).  Returns the
+    padded (npad, 3) cloud.  The representative must be a kept row: the kernel
+    recenters on row 0 (``cent = blocks[:, 0]``), and recentering on a
+    sentinel/garbage row would cost f32 precision on every active row of a
+    mixed block (near-tie winner flips at GMFA's 0.02^2 gate).  Blocks with no
+    kept row keep row 0 — their sweep is skipped and results discarded.
+
+    Pruning soundness does NOT require the block-table build (ops/icp.py) and
+    the in-place subset query (ops/nn.py) to pick the SAME representative —
+    only that every filled row lands inside the build-time ball (+drift),
+    which any kept row satisfies (query keep-sets are subsets of build
+    keep-sets)."""
     n = src.shape[0] if n is None else n
     b = _SRC_BLOCK
     npad = -(-n // b) * b
     srcp = jnp.pad(src.astype(jnp.float32)[:n], ((0, npad - n), (0, 0)),
                    mode="edge")
     keepp = jnp.pad(keep[:n], (0, npad - n))
-    first = jnp.broadcast_to(srcp.reshape(-1, b, 3)[:, 0:1, :],
-                             (npad // b, b, 3)).reshape(npad, 3)
-    return jnp.where(keepp[:, None], srcp, first)
+    rows = srcp.reshape(-1, b, 3)
+    first_active = jnp.argmax(keepp.reshape(-1, b), axis=1)  # 0 if none kept
+    rep = jnp.take_along_axis(rows, first_active[:, None, None], axis=1)
+    rep = jnp.broadcast_to(rep, (npad // b, b, 3)).reshape(npad, 3)
+    return jnp.where(keepp[:, None], srcp, rep)
 
 
 def build_block_table(src: jnp.ndarray, index: TargetIndex,

@@ -55,7 +55,12 @@ def load_checkpoint(path: str, like, step: int = 0):
             key = _path_key(p)
             if key in data:
                 val = data[key]
-            elif f"leaf_{i}" in data:   # positional legacy archives
+            elif (f"leaf_{i}" in data
+                  and data[f"leaf_{i}"].shape == np.shape(x)):
+                # positional legacy archives: adopt leaf_{i} only when its
+                # shape matches the template leaf — a field inserted anywhere
+                # but the end of the carry would shift every later index, and
+                # silent dtype casting would otherwise mask the mis-assignment
                 val = data[f"leaf_{i}"]
             else:
                 val = np.asarray(x)     # field added after the snapshot

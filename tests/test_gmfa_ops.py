@@ -281,6 +281,61 @@ def test_nearest_neighbors_active_inplace_matches_full():
         assert (b2a[~active] == 0.0).all()
 
 
+def test_block_first_fill_first_active_representative():
+    """The block fill's representative must be a KEPT row: the kernel recenters
+    on row 0, and a sentinel/garbage representative costs f32 precision on
+    every active row of a mixed block (advisor r3, medium)."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    b = nn_pallas._SRC_BLOCK
+    rng = np.random.default_rng(7)
+    src = rng.uniform(-10, 10, size=(2 * b, 3)).astype(np.float32)
+    keep = np.ones(2 * b, bool)
+    # block 0: rows 0..4 are invalid garbage (e.g. mid-cloud sentinel coords)
+    keep[:5] = False
+    src[:5] = 0.0
+    # block 1: fully inactive — representative irrelevant (sweep skipped)
+    keep[b:] = False
+    filled = np.asarray(nn_pallas.block_first_fill(
+        jnp.asarray(src), jnp.asarray(keep)))
+    # inactive rows of a mixed block take the first ACTIVE row's coords
+    np.testing.assert_array_equal(filled[:5], np.broadcast_to(src[5], (5, 3)))
+    # active rows are untouched
+    np.testing.assert_array_equal(filled[5:b], src[5:b])
+
+
+def test_icp_cached_midcloud_padding_matches_uncached():
+    """Invalid rows with mid-range coords (zeros inside the cloud's bounding
+    box) would sort MID-CLOUD under an unmasked Morton key and land as block
+    representatives; registration_icp's internal order must mask them to the
+    end (advisor r3, medium).  The cached path must still match the exact
+    full-requery path at GMFA's tight gate."""
+    rng = np.random.default_rng(17)
+    cloud = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    true = _rigid(0.01, [0.04, -0.02, 0.01])
+    target = (cloud @ true[:3, :3].T + true[:3, 3]
+              + rng.normal(scale=0.005, size=cloud.shape)).astype(np.float32)
+    pad = 4096
+    src = np.zeros((pad, 3), np.float32)      # padding at the ORIGIN, not 1e9
+    src[:3000] = cloud
+    dst = np.zeros((pad, 3), np.float32)
+    dst[:3000] = target
+    m = np.zeros(pad, bool)
+    m[:3000] = True
+    for thr in (0.02, 0.3):
+        ref = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=False)
+        got = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True)
+        np.testing.assert_allclose(np.asarray(ref.transformation),
+                                   np.asarray(got.transformation),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.fitness), np.asarray(got.fitness),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
+                                   np.asarray(got.inlier_rmse), rtol=1e-4)
+
+
 def test_capped_sweep_dichotomy():
     """Capped-search contract of the NN kernel (VERDICT r2 item 3): every row
     either matches the uncapped sweep exactly (when its true NN d2 < cap2) or
