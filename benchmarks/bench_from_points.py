@@ -45,6 +45,27 @@ def main() -> None:
                                                             write_synthetic_sequence)
 
     log(f"devices: {jax.devices()}")
+
+    # Tunnel byte-rate probe (r4): at the production shape the measured loop
+    # is HOST-LINK-bound, not compute-bound (device stages ~6 ms/frame vs
+    # ~1.2 MB/frame of irreducible H2D raw points + D2H artifacts).  Record
+    # the link rates so the roofline is explicit in every capture.
+    import jax.numpy as jnp
+    import numpy as np
+    mb4 = np.zeros((1 << 20,), np.float32)  # 4 MB
+    dev = jax.device_put(mb4)
+    float(jnp.sum(dev))  # warm
+    t0 = time.time()
+    for _ in range(3):
+        d = jax.device_put(mb4)
+        float(jnp.sum(d))
+    h2d = 3 * mb4.nbytes / (time.time() - t0) / 1e6
+    t0 = time.time()
+    for _ in range(3):
+        _ = np.asarray(dev)
+    d2h = 3 * mb4.nbytes / (time.time() - t0) / 1e6
+    log(f"tunnel rates: H2D ~{h2d:.1f} MB/s, D2H ~{d2h:.1f} MB/s")
+
     cfg = PipelineAConfig(  # defaults = reference scale: 200x200 grid @ 0.2 m
         capacities=CapacityConfig(max_raw_points=65536, max_roi_points=8192,
                                   max_cells=4096, max_clusters=32, max_tracks=64))
@@ -93,6 +114,7 @@ def main() -> None:
             "grid": "200x200",
             "vs_baseline": round(fps / 30.0, 4),
             "breakdown_ms_per_frame": breakdown,
+            "tunnel_mb_s": {"h2d": round(h2d, 1), "d2h": round(d2h, 1)},
         }))
 
 

@@ -79,8 +79,7 @@ def main() -> None:
 
     log("compiling GMFA step at reference load...")
     t0 = time.time()
-    carry = pipe.init_carry()._replace(prev_points=clouds[0][0],
-                                       prev_mask=clouds[0][1])
+    carry = pipe.seed_carry(clouds[0][0], clouds[0][1])
     carry, out = pipe.step(clouds[1][0], clouds[1][1], carry, key)
     _ = int(out.n_clusters)
     log(f"compile+first run: {time.time() - t0:.1f}s; moving="
@@ -90,8 +89,7 @@ def main() -> None:
     done = 0
     t0 = time.time()
     for r in range(reps):
-        carry = pipe.init_carry()._replace(prev_points=clouds[0][0],
-                                           prev_mask=clouds[0][1])
+        carry = pipe.seed_carry(clouds[0][0], clouds[0][1])
         for i in range(1, n_frames):
             carry, out = pipe.step(clouds[i][0], clouds[i][1], carry,
                                    jax.random.fold_in(key, 100 + r * 10 + i))

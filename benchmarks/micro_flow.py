@@ -34,6 +34,37 @@ H, W = 1080, 1920
 REPS = 8
 _SENT = jnp.float32(9.87654321e35)
 
+# Measured chip ceiling (BENCHMARKS.md round 1): ~82 GB/s HBM copy bandwidth
+# on this tunneled 1/10-scale v5e.  Utilization = modeled-bytes / time / peak
+# (VERDICT r3 item 7: make "bandwidth-bound" a number).
+HBM_PEAK_GBPS = 82.0
+
+
+def hbm_model_bytes(*, iterations: int) -> dict[str, float]:
+    """Modeled HBM bytes per call at the 1080p level-0 shape.
+
+    fused_iteration (per iteration): R0 5 planes f32 + the padded-R1 ring
+    window (each padded row DMA'd once) + flow in + flow out.  M planes stay
+    in VMEM.
+    """
+    r = 7  # winsize//2
+    r0 = 5 * H * W * 4.0
+    r1 = 5 * (H + 2 * r + 8) * (W + 2 * r) * 4.0
+    flow_io = 2 * H * W * 4.0
+    per_iter = r0 + r1 + 2 * flow_io
+    return {
+        "fused_iteration": per_iter,
+        "warp_matrices": r0 + r1 + flow_io + 5 * H * W * 4.0,  # writes M
+        "blur_solve": 5 * (H + 2 * r) * (W + 2 * r) * 4.0 + flow_io,
+    }
+
+
+def util(name: str, key: str, dt_ms: float, model: dict[str, float]) -> None:
+    gbps = model[key] / 1e9 / (dt_ms / 1e3)
+    print(f"{'':42s} {gbps:8.1f} GB/s achieved "
+          f"({100 * gbps / HBM_PEAK_GBPS:.0f}% of {HBM_PEAK_GBPS:.0f} GB/s "
+          f"copy peak, modeled {model[key] / 1e6:.0f} MB)", flush=True)
+
 
 def _chain(out, base):
     """Value-identical to ``base``, data-dependent on ``out`` (anti-CSE)."""
@@ -105,7 +136,9 @@ def main():
             dyy = _chain(b, d0y)
         return dxx, dyy
 
-    timed("fused_iteration (real flow)", run_fused, R0, r1p_fs, dxr, dyr)
+    model = hbm_model_bytes(iterations=fb.iterations)
+    dt = timed("fused_iteration (real flow)", run_fused, R0, r1p_fs, dxr, dyr)
+    util("fused_iteration", "fused_iteration", dt, model)
 
     # --- standalone warp (writes M to HBM) ---
     @jax.jit
@@ -117,7 +150,8 @@ def main():
             dyy = _chain(m[4], d0y)
         return dxx, dyy
 
-    timed("warp_matrices standalone", run_warp, R0, r1p_s, dxr, dyr)
+    dt = timed("warp_matrices standalone", run_warp, R0, r1p_s, dxr, dyr)
+    util("warp_matrices", "warp_matrices", dt, model)
 
     # --- standalone blur+solve (reads M from HBM) ---
     m0 = jax.jit(warp_pallas.warp_matrices)(R0, r1p_s, dxr, dyr)
@@ -132,29 +166,13 @@ def main():
             acc = a
         return acc
 
-    timed("blur_solve standalone", run_blur2, m0)
+    dt = timed("blur_solve standalone", run_blur2, m0)
+    util("blur_solve", "blur_solve", dt, model)
 
-    # --- wavefront: all 5 iterations in one kernel (per-iteration-equivalent
-    # time = total / 5 for comparison with fused_iteration) ---
-    from datmo_using_optical_flow_tpu.ops import flow_wavefront
-
-    @jax.jit
-    def run_wave(r0, r1pad, d0x, d0y):
-        dxx, dyy = d0x, d0y
-        for _ in range(REPS):
-            a, b, _exc = flow_wavefront.wavefront_iterations(
-                r0, r1pad, dxx, dyy, fb.winsize, fb.iterations, False)
-            dxx = _chain(a, d0x)
-            dyy = _chain(b, d0y)
-        return dxx, dyy
-
-    try:
-        dt = timed("wavefront x5 iters (real flow)", run_wave, R0, r1p_fs,
-                   dxr, dyr)
-        print(f"{'':42s} {dt / fb.iterations:8.2f} ms/iteration-equivalent",
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"wavefront FAILED: {type(e).__name__}: {e}", flush=True)
+    # (A K-iteration wavefront kernel was A/B'd here on chip in r4 and
+    # removed: 11.99 ms vs 11.2 ms for 5 chained fused iterations — the
+    # level is VPU-bound, so its HBM-traffic savings bought nothing and its
+    # fill/drain bubbles cost ~7%.  See BENCHMARKS.md r4.)
 
     # --- XLA packed-gather update_matrices (for reference) ---
     packed = jax.jit(pack_corner_pairs)(R1)

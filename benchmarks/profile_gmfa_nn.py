@@ -122,7 +122,19 @@ def main():
             return nn_pallas.nearest_neighbors_pallas(s, idxt)
         return sweep
 
-    timed("kernel sweep (256, 256) prebuilt", mk_sweep(), src_sorted, index)
+    dt = timed("kernel sweep (256, 256) prebuilt", mk_sweep(), src_sorted, index)
+    # Roofline (VERDICT r3 item 7): the sweep is MXU-bound, not HBM-bound —
+    # the target cloud is VMEM-resident (~3 MB) and only (N,) results leave.
+    # FLOPs model: 2*8 per source-target pair for the cross-term matmul on
+    # surviving tiles; the full-sweep ceiling is printed alongside so the
+    # pruning factor is visible (achieved = full-model / time is an upper
+    # bound on useful FLOP/s; the pruned fraction is what the time buys).
+    mp = index.packed.shape[0] * index.packed.shape[2]
+    full_flops = src_sorted.shape[0] * mp * 16.0
+    log(f"{'':48s} full-sweep model {full_flops / 1e9:.0f} GFLOP -> "
+        f"{full_flops / 1e12 / (dt / 1e3):.2f} TFLOP/s-equivalent "
+        f"(f32 MXU peak ~4.4 on this 1/10-scale chip; above-peak values "
+        f"measure the pruning factor)")
 
     base_sb, base_tt = nn_pallas._SRC_BLOCK, nn_pallas._TGT_TILE
     for sb, tt in ((128, 256), (256, 128), (128, 128), (512, 256)):
@@ -137,14 +149,29 @@ def main():
         finally:
             nn_pallas._SRC_BLOCK, nn_pallas._TGT_TILE = base_sb, base_tt
 
+    # (A bf16 hi/lo cross-term variant was A/B'd here on chip in r4 and
+    # removed: 18.08 ms vs 17.16 ms for the f32 dot.  See BENCHMARKS.md r4.)
+
     # ---- full wrappers ----
     timed("nearest_neighbors full (build+sort+sweep)",
           jax.jit(nearest_neighbors), cur, prev, prev_m)
-    timed("registration_icp (reference criteria)",
-          jax.jit(lambda s, sm, t, tm: registration_icp(
-              s, sm, t, tm, cfg.icp.threshold, cfg.icp.max_iterations,
-              cfg.icp.relative_fitness, cfg.icp.relative_rmse)),
+    icp_fn = jax.jit(lambda s, sm, t, tm: registration_icp(
+        s, sm, t, tm, cfg.icp.threshold, cfg.icp.max_iterations,
+        cfg.icp.relative_fitness, cfg.icp.relative_rmse))
+    timed("registration_icp (reference criteria)", icp_fn,
           prev, prev_m, cur, cur_m, reps=1)
+    # sweep-statistics breakdown at reference load (VERDICT r3 items 1/5):
+    # quantifies how much of the N x iters work the certificate / cap /
+    # in-place machinery actually removes.
+    res = icp_fn(prev, prev_m, cur, cur_m)
+    swept, cert, excl = (float(x) for x in res.sweep_stats)
+    iters = int(res.iterations)
+    denom = max(n * max(iters - 1, 1), 1)  # re-query rounds after the first
+    log(f"icp iterations: {iters}, fitness {float(res.fitness):.4f}, "
+        f"rmse {float(res.inlier_rmse):.6f}")
+    log(f"icp sweep_stats: swept {swept:.0f}, certificate-kept {cert:.0f}, "
+        f"exclusion-skipped {excl:.0f} "
+        f"(swept fraction of re-query rounds: {swept / denom:.3f})")
 
 
 if __name__ == "__main__":

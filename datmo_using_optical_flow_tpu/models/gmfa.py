@@ -127,6 +127,23 @@ class GMFAPipeline:
         returns the old carry values (including the stale previous cloud)."""
         return self._step(points, mask, carry, key)
 
+    def seed_carry(self, points: jnp.ndarray, mask: jnp.ndarray,
+                   carry: GmfaCarry | None = None) -> GmfaCarry:
+        """Seed a carry's previous-cloud slots (the reference's first frame,
+        GMFA.py:455-463) WITH the cloud's Morton order.
+
+        Seeding via bare ``_replace(prev_points=...)`` leaves ``prev_order``
+        at the arange placeholder — functionally valid (results are
+        permutation-independent) but it destroys the spatial coherence the
+        NN kernel's block pruning, in-place block skipping, and exclusion
+        shell all rely on: the first frame's ICP then runs near-brute-force
+        (measured ~13x slower at reference load, r4 chip A/B).  Every seeding
+        path must go through here."""
+        if carry is None:
+            carry = self.init_carry()
+        return carry._replace(prev_points=points, prev_mask=mask,
+                              prev_order=_seed_order_jit()(points, mask))
+
     def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
                       seed: int = 0, progress: bool = False,
                       plot_dir: str | None = None, checkpoint_every: int = 0,
@@ -171,7 +188,7 @@ class GMFAPipeline:
             kp, ks = jax.random.split(jax.random.fold_in(key, i))
             ex, exmask = self.preprocess(jnp.asarray(pts), jnp.asarray(mask), kp)
             if not have_prev:
-                carry = carry._replace(prev_points=ex, prev_mask=exmask)
+                carry = self.seed_carry(ex, exmask, carry)
                 have_prev = True
                 self._maybe_checkpoint(carry, i, checkpoint_every, checkpoint_path,
                                        save_checkpoint)
@@ -216,7 +233,7 @@ class GMFAPipeline:
         exactly like ``process_files``, so the two forms agree bit-for-bit on
         track ids too (parity pinned by tests/test_gmfa_pipeline.py).
         """
-        carry = carry._replace(prev_points=points[0], prev_mask=masks[0])
+        carry = self.seed_carry(points[0], masks[0], carry)
         base = jax.random.PRNGKey(seed)
         keys = jax.vmap(
             lambda i: jax.random.split(jax.random.fold_in(base, i))[1]
@@ -283,6 +300,12 @@ import functools
 @functools.lru_cache(maxsize=32)
 def _cached_gmfa_preprocess(cfg: GMFAConfig):
     return jax.jit(partial(_gmfa_preprocess_impl, cfg=cfg))
+
+
+@functools.cache
+def _seed_order_jit():
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+    return jax.jit(nn_pallas.sort_order)
 
 
 @functools.lru_cache(maxsize=32)

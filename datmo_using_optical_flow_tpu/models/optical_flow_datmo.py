@@ -140,11 +140,18 @@ class PipelineA:
         return self._stream_step(bev, carry)
 
     # above this grid size, scan_steps dispatches per-frame instead of using
-    # lax.scan: at 1080p the scan now COMPILES fine (~47 s — the Pallas warp
-    # custom-call fixed round 1's >40 min pathology) but the scan loop RUNS
-    # ~330x slower than per-frame dispatch on this backend (12.9 s/pair vs
-    # 39 ms, measured); at 200x200 the single-program scan is the faster form.
-    SCAN_MAX_CELLS = 512 * 512
+    # lax.scan.  History of the boundary (benchmarks/diag_scan_1080p.py):
+    # round 1's scan never finished compiling at 1080p (>40 min; the Pallas
+    # warp custom-call fixed that); round 2's scan COMPILED (~47 s) but ran
+    # ~330x slower than per-frame dispatch (12.9 s/pair), pinning the bound
+    # at 512x512.  The r4 re-measure after the ring-DMA kernel restructure
+    # shows the pathology GONE: full-step scan 24.5 ms/pair vs 58.7 ms
+    # per-frame dispatch at 1080p (the scan also avoids the tunnel's ~28 ms
+    # dispatch round trip per frame).  The bound now only caps compile time
+    # (~87 s at 1080p, cached thereafter) — set above 1080p, kept finite so
+    # pathological grids (4K+) still stream per-frame, where compile cost
+    # and carry size are untested.
+    SCAN_MAX_CELLS = 1088 * 1920
 
     def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry
                    ) -> tuple[StepCarry, StepOutputs]:

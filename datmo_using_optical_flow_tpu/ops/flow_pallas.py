@@ -222,9 +222,7 @@ def blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb, odx_ref, ody_ref,
                      w: int, wp: int, s: int, hv: int):
     """Window-aggregate + 2x2 solve of strip ``t - 1`` from the three-strip
     M ring (tail of t-2, mcur = t-1, mtmp = t), writing the flow components.
-    Shared by the per-iteration fused kernel above and the multi-iteration
-    wavefront kernel (ops/flow_wavefront.py); ``t`` is the LEVEL-LOCAL warp
-    strip index (caller guards t >= 1)."""
+    ``t`` is the LEVEL-LOCAL warp strip index (caller guards t >= 1)."""
     r = len(taps) // 2
 
     # edge replication (BORDER_REPLICATE semantics of the unfused path,
@@ -299,9 +297,9 @@ def blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb, odx_ref, ody_ref,
         odx_ref[...] = vx
         ody_ref[...] = vy
     else:
-        # wider (lane-padded) refs — the wavefront's intermediate flow
-        # buffers: pad columns are written ZERO so the next level's warp
-        # shift bounds stay well-behaved (matching the padded HBM inputs)
+        # wider (lane-padded) refs: pad columns are written ZERO so a
+        # downstream warp's shift bounds stay well-behaved (matching the
+        # padded HBM inputs)
         zpad = jnp.zeros((s, odx_ref.shape[1] - w), jnp.float32)
         odx_ref[...] = jnp.concatenate([vx, zpad], axis=1)
         ody_ref[...] = jnp.concatenate([vy, zpad], axis=1)
@@ -387,39 +385,22 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray,
 
     Small levels stay entirely on the XLA packed-gather path — their gathers
     are cheap and the strip-grid overhead would dominate.
+
+    A K-iteration wavefront variant (all iterations in one pallas_call,
+    R0/R1 read once, intermediate flows VMEM-resident) was built and A/B'd
+    on chip in r4 and REMOVED: 11.99 ms vs 11.2 ms for 5 chained fused
+    iterations at 1080p.  The level is VPU-compute-bound, not HBM-bound
+    (5x chained moves ~595 MB at only ~53 GB/s effective while the
+    standalone warp demonstrates ~85 GB/s), so the wavefront's traffic
+    savings buy nothing and its (K-1)/n_strips fill/drain bubbles cost ~7%.
+    The FLOP:byte ratio of this 1/10-scale chip matches a production v5e,
+    so the result carries over (BENCHMARKS.md r4).
     """
-    from datmo_using_optical_flow_tpu.ops import flow_wavefront, warp_pallas
+    from datmo_using_optical_flow_tpu.ops import warp_pallas
     from datmo_using_optical_flow_tpu.ops.farneback import (pack_corner_pairs,
                                                             update_matrices)
 
     _, h, w = R0.shape
-    if flow_wavefront.ENABLED and flow_wavefront.eligible(h, w):
-        # iterations fused into wavefront passes of <= MAX_K each: R0/R1
-        # read once per pass, intermediate flows never leave VMEM.  Falls
-        # back to the exact packed-gather path for the whole level when any
-        # intermediate flow leaves the warp window (the kernel flags it;
-        # results are then discarded).
-        r1p = warp_pallas._pad_r1(R1, s=FS)
-        ox, oy = dx, dy
-        exceeded = jnp.asarray(False)
-        left = iterations
-        while left > 0:
-            kk = min(left, flow_wavefront.MAX_K)
-            ox, oy, exc = flow_wavefront.wavefront_iterations(
-                R0, r1p, ox, oy, winsize, kk, gaussian)
-            exceeded = exceeded | exc
-            left -= kk
-
-        def slow_all(args):
-            dxi, dyi = args
-            packed = pack_corner_pairs(R1)
-            for _ in range(iterations):
-                m = update_matrices(R0, R1, dxi, dyi, packed)
-                dxi, dyi = blur_solve(m, winsize, gaussian)
-            return dxi, dyi
-
-        return jax.lax.cond(exceeded, slow_all, lambda a: (ox, oy), (dx, dy))
-
     if warp_pallas.eligible(h, w):
         r1p = warp_pallas._pad_r1(R1, s=FS)
 

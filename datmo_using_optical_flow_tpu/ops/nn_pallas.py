@@ -31,6 +31,7 @@ Two structural ideas make it fast AND precise:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -50,16 +51,12 @@ MAX_TARGET = 1 << 18
 # 8-term dot + norm sums + final combine accumulate <= ~10 ulps on operands
 # bounded by (sn' + tn'_cand); 2^-23 * 10 * safety 4 ~ 5e-6 -> use 1e-5.
 ALPHA = np.float32(1e-5)
-# hi/lo split cross term (USE_HILO): bf16 x bf16 products are exact in f32
-# (8+8 mantissa bits), but the dropped lo*lo term adds ~2^-16 relative of
-# |sp||tp| per product; widen the envelope accordingly.
-ALPHA_HILO = np.float32(2e-4)
-# Run the cross-term matmul as three bf16 passes (hi*hi + hi*lo + lo*hi with
-# f32 accumulation) instead of one f32 dot.  Worthwhile only if Mosaic's f32
-# matmul costs more than 3 bf16 passes on this chip — measured before enabling
-# (VERDICT r2 item 3); exactness impact is bounded by ALPHA_HILO and pinned by
-# the KDTree-parity tests, which run the same arithmetic in interpret mode.
-USE_HILO = False
+# A bf16 hi/lo-split cross term (three bf16 passes: hi*hi + hi*lo + lo*hi
+# with f32 accumulation, USE_HILO) was A/B'd on chip in r4 and REMOVED:
+# 18.08 ms vs 17.16 ms for the f32 dot at the 102400^2 reference sweep —
+# Mosaic's f32 matmul (one pass at ~1/2 the bf16 rate) beats three bf16
+# passes, and the wider ALPHA envelope it needed also cost pruning
+# tightness.  See BENCHMARKS.md r4.
 # absolute slack (meters) subtracted from the geometric tile bound to cover
 # its own f32 rounding
 _LB_PAD = np.float32(1e-3)
@@ -194,7 +191,7 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
                  cent_row_ref, cent_col_ref, di_ref, dd_ref, dl_ref, d2nd_ref,
                  wx, wy, wz, bd, bi, bl, bmax, s1, s2, sm2, s1t, bti,
                  *, m_tiles: int):
-    alpha = ALPHA_HILO if USE_HILO else ALPHA
+    alpha = ALPHA
     # everything stays 2-D with keepdims: Mosaic cannot shape-cast between
     # (B,) / (B, 1) / (rows, 128) vector layouts
     cent_row = cent_row_ref[0][0:1, :]      # (1, 8) block representative
@@ -247,28 +244,9 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         tp = tile - cent_col                # (8, T) recentered targets
         tpn = jnp.sum(tp * tp, axis=0, keepdims=True)   # (1, T) exact-ish
         tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
-        if USE_HILO:
-            # three bf16 passes with f32 accumulation: hi*hi + hi*lo +
-            # lo*hi (lo*lo dropped — covered by ALPHA_HILO); bf16 products
-            # of bf16 operands are exact in f32
-            sh = sp.astype(jnp.bfloat16)
-            sl = (sp - sh.astype(jnp.float32)).astype(jnp.bfloat16)
-            th_ = tp.astype(jnp.bfloat16)
-            tl_ = (tp - th_.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((1,), (0,)), ((), ()))
-            cross = (jax.lax.dot_general(
-                         sh, th_, dimension_numbers=dn,
-                         preferred_element_type=jnp.float32)
-                     + jax.lax.dot_general(
-                         sh, tl_, dimension_numbers=dn,
-                         preferred_element_type=jnp.float32)
-                     + jax.lax.dot_general(
-                         sl, th_, dimension_numbers=dn,
-                         preferred_element_type=jnp.float32))
-        else:
-            cross = jax.lax.dot_general(
-                sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        cross = jax.lax.dot_general(
+            sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         # sn is constant per row: left out of the (B, T) pass (it shifts
         # every candidate equally, so the argmin is unchanged), added back
         # after the reductions

@@ -108,8 +108,8 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     inside = (x1a >= 0) & (x1a < w - 1) & (y1a >= 0) & (y1a < h - 1)
 
     if clip_ref is not None:
-        # in-kernel out-of-range detection (the wavefront kernel cannot check
-        # intermediate flows outside): a clipped shift only corrupts INSIDE
+        # in-kernel out-of-range detection (for callers whose flows cannot
+        # be range-checked outside): a clipped shift only corrupts INSIDE
         # pixels (outside ones take the r0 fallback regardless), so flag
         # exactly those — the caller recomputes the whole level on the exact
         # path when any strip flags.

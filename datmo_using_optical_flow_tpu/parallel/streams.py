@@ -91,6 +91,19 @@ def init_gmfa_stream_carry(cfg, n_streams: int):
         lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), carry)
 
 
+def seed_gmfa_stream_carry(carry, points: jnp.ndarray, mask: jnp.ndarray):
+    """Seed each stream's previous cloud WITH its Morton order — the
+    stream-axis analogue of :meth:`GMFAPipeline.seed_carry` (a bare
+    ``_replace(prev_points=...)`` leaves the arange placeholder and
+    collapses the NN kernel's spatial pruning on every stream's first
+    frame).  ``points``: (n_streams, P, 3), ``mask``: (n_streams, P)."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    order = jax.vmap(nn_pallas.sort_order)(points, mask)
+    return carry._replace(prev_points=points, prev_mask=mask,
+                          prev_order=order)
+
+
 def make_multi_stream_gmfa_step(cfg, mesh: Mesh, max_moving: int = 8192):
     """Build the jitted stream-parallel GMFA step:
     ``(points, mask, carry, keys) -> (carry, outputs, metrics)``.

@@ -42,7 +42,6 @@ _SMOKE_NODEIDS = (
     "test_gmfa_ops.py::test_nearest_neighbors_matches_kdtree",
     "test_gmfa_ops.py::test_icp_recovers_rigid_transform",
     "test_gmfa_ops.py::test_icp_capped_matches_uncapped",
-    "test_flow_wavefront.py::test_wavefront_matches_chained_fused[2-160-256]",
     "test_gmfa_ops.py::test_hungarian_square_matches_scipy[0-4]",
     "test_gmfa_ops.py::test_som_matches_oracle",
     "test_tracker_a.py::test_single_target_track",

@@ -405,31 +405,6 @@ def test_icp_capped_matches_uncapped():
                                    np.asarray(got.inlier_rmse), rtol=1e-5)
 
 
-def test_nn_hilo_flag_parity(monkeypatch):
-    """The bf16 hi/lo cross-term option: KDTree index parity on generic clouds
-    and a sound lower bound (envelope widened to ALPHA_HILO)."""
-    from datmo_using_optical_flow_tpu.ops import nn_pallas
-
-    monkeypatch.setattr(nn_pallas, "USE_HILO", True)
-    rng = np.random.default_rng(23)
-    src = rng.uniform(-20, 20, size=(1500, 3)).astype(np.float32)
-    tgt = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
-    mask = np.ones(4096, bool)
-    idx, d2 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
-                                jnp.asarray(mask))
-    dist, kidx = cKDTree(tgt).query(src, k=1)
-    np.testing.assert_array_equal(np.asarray(idx), kidx)
-    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), dist, rtol=1e-4,
-                               atol=1e-4)
-    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_with_bound
-
-    _, d2b, lob = nearest_neighbors_with_bound(jnp.asarray(src), jnp.asarray(tgt),
-                                               jnp.asarray(mask))
-    lob, d2b = np.asarray(lob), np.asarray(d2b)
-    true_d2 = (dist * dist).astype(np.float32)
-    assert (lob <= true_d2 + 1e-6 * (1.0 + true_d2)).all()
-
-
 # ------------------------------------------------------------------ Hungarian
 
 @pytest.mark.parametrize("seed,n", [(0, 4), (1, 8), (2, 16), (3, 32)])

@@ -168,8 +168,9 @@ def test_gmfa_scan_steps_matches_sequential(cfg, clouds):
     seed = 11
     final_carry, outs = pipe.scan_steps(pts, msk, pipe.init_carry(), seed=seed)
 
-    # sequential reference with the same key schedule as process_files
-    carry = pipe.init_carry()._replace(prev_points=pts[0], prev_mask=msk[0])
+    # sequential reference with the same key schedule AND the same seeded
+    # spatial order as process_files (both paths go through seed_carry)
+    carry = pipe.seed_carry(pts[0], msk[0])
     key = jax.random.PRNGKey(seed)
     for i in range(1, pts.shape[0]):
         _, ks = jax.random.split(jax.random.fold_in(key, i))
@@ -187,6 +188,34 @@ def test_gmfa_scan_steps_matches_sequential(cfg, clouds):
                                np.asarray(carry.table.state), atol=1e-4)
     np.testing.assert_allclose(np.asarray(final_carry.som),
                                np.asarray(carry.som), atol=1e-6)
+
+
+def test_gmfa_seed_carry_order(cfg, clouds):
+    """seed_carry installs the cloud's Morton order (r4: a bare
+    ``_replace(prev_points=...)`` left the arange placeholder, collapsing the
+    NN kernel's spatial pruning — ~13x on the first frame at reference load),
+    and the step's RESULTS stay order-independent (only pruning tightness
+    may change)."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
+    pipe, frames = clouds
+    p0, m0 = (jnp.asarray(x) for x in frames[0])
+    p1, m1 = (jnp.asarray(x) for x in frames[1])
+
+    seeded = pipe.seed_carry(p0, m0)
+    np.testing.assert_array_equal(np.asarray(seeded.prev_order),
+                                  np.asarray(nn_pallas.sort_order(p0, m0)))
+
+    key = jax.random.PRNGKey(5)
+    bare = pipe.init_carry()._replace(prev_points=p0, prev_mask=m0)
+    c_a, out_a = pipe.step(p1, m1, seeded, key)
+    c_b, out_b = pipe.step(p1, m1, bare, key)
+    np.testing.assert_allclose(np.asarray(out_a.transformation),
+                               np.asarray(out_b.transformation), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_a.classifications),
+                                  np.asarray(out_b.classifications))
+    np.testing.assert_allclose(np.asarray(c_a.table.state),
+                               np.asarray(c_b.table.state), atol=1e-4)
 
 
 def test_gmfa_two_targets_matches_oracle(cfg):
