@@ -38,7 +38,10 @@ def main() -> None:
         x_range=(0.0, h * 0.1), y_range=(0.0, w * 0.1), grid_resolution=(0.1, 0.1),
         capacities=CapacityConfig(max_cells=4096, max_clusters=32, max_tracks=64),
     )
-    n_frames = 3
+    # enough frames per sync that the ~27 ms tunnel roundtrip amortizes the way
+    # it does in production (streams dispatch asynchronously and only the
+    # consumer syncs); 3 frames/sync under-reported aggregate FPS by ~20%
+    n_frames = 9
     frames = np.stack([make_frames(n_frames, h, w, seed=s) for s in range(n_streams)])
     dev_frames = [jnp.asarray(frames[:, t]) for t in range(n_frames)]
 

@@ -369,7 +369,11 @@ def _cluster_features(points: jnp.ndarray, labels: jnp.ndarray, k: int):
 
 
 def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
-                    max_moving: int):
+                    max_moving: int, diag_stop: str | None = None):
+    """``diag_stop`` (static; benchmarks/diag_gmfa_step.py only) truncates the
+    program after the named stage and returns that stage's live values —
+    cumulative-prefix timing locates where in-program composition costs
+    appear (the r2 DCE-proof ablation methodology, applied to pipeline B)."""
     c = cfg
     n_cur = jnp.sum(mask.astype(jnp.int32))
     n_prev = jnp.sum(carry.prev_mask.astype(jnp.int32))
@@ -386,6 +390,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     icp_share = share and points.shape[0] >= icp_mod._CACHED_MIN
     cur_index = (nn_pallas.build_target_index(points, mask, order=cur_order)
                  if icp_share else None)
+    if diag_stop == "orders":
+        return (cur_order, points)
 
     # 1. ICP ego-motion: previous -> current (GMFA.py:465)
     icp = registration_icp(carry.prev_points, carry.prev_mask, points, mask,
@@ -394,6 +400,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
                            tgt_index=cur_index,
                            src_order=carry.prev_order if icp_share else None)
     prev_t = transform_points(carry.prev_points, icp.transformation)
+    if diag_stop == "icp":
+        return (icp.transformation, icp.fitness, icp.sweep_stats)
 
     # 2. residuals: index-wise when sizes match, NN-aligned otherwise (GMFA.py:79-91).
     # Capped sweep: every residual consumer thresholds at static/moving
@@ -419,11 +427,15 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     cls = jnp.where(residuals < c.static_threshold, 3,
                     jnp.where(residuals > c.moving_threshold, 2, 1))
     cls = jnp.where(mask, cls, 0).astype(jnp.int32)
+    if diag_stop == "cls":
+        return (residuals, cls)
 
     # 4. moving-point ROI (GMFA.py:472-473) + compaction
     moving = (cls == 2) & point_ops.roi_mask_2d(points, c.moving_roi_bounds)
     mpts, mmask, mcount = compact_masked(points, moving, max_moving)
     skip = mcount == 0
+    if diag_stop == "compact":
+        return (mpts, mcount)
 
     # 5. DBSCAN on raw 3-D moving points (GMFA.py:480: min_samples hard-coded in
     # the reference; here from config whose default replicates it)
@@ -431,6 +443,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     kmax = c.capacities.max_clusters
     feats, centroids2d, exists, _counts = _cluster_features(mpts, labels, kmax)
     n_clusters = jnp.sum(exists.astype(jnp.int32))
+    if diag_stop == "dbscan":
+        return (labels, feats, n_clusters)
 
     # 6. Hungarian association on feature distances (GMFA.py:182-213)
     tb = carry.table
@@ -439,6 +453,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     col4row, pair_ok = linear_sum_assignment(cost, row_mask=tb.alive, col_mask=exists)
     assigned = pair_ok & (cost[jnp.arange(cost.shape[0]),
                                jnp.clip(col4row, 0, kmax - 1)] < c.cost_threshold)
+    if diag_stop == "hungarian":
+        return (col4row, assigned)
 
     # 7. update matched tracks; drop unmatched (GMFA.py:216-232, :487)
     ci = jnp.clip(col4row, 0, kmax - 1)
@@ -478,6 +494,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
     age = age.at[target_slot].set(1, mode="drop")
     born = jnp.zeros((cap,), bool).at[target_slot].set(unassigned, mode="drop")
     alive = alive | born
+    if diag_stop == "births":
+        return (state, alive, tid)
 
     # 9. SOM update with the reference's misaligned (moving point k, residual k)
     if residuals.shape[0] >= max_moving:
@@ -488,6 +506,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
                      som_res, c.static_threshold, c.moving_threshold,
                      c.som.cell_resolution, c.som.static_increment,
                      c.som.moving_decrement, c.som.max_value, c.som.min_value)
+    if diag_stop == "som":
+        return (som,)
 
     # 10. KF predict+update per live track against its own feature (GMFA.py:494-497)
     f_mat = jnp.array([[1, 0, c.dt, 0], [0, 1, 0, c.dt],
@@ -509,6 +529,8 @@ def _gmfa_step_impl(points, mask, carry: GmfaCarry, key, cfg: GMFAConfig,
         return xu[:, 0], pu
 
     kf_state, kf_cov = jax.vmap(kf)(state, cov, features)
+    if diag_stop == "kf":
+        return (kf_state, kf_cov)
     state = jnp.where(alive[:, None], kf_state, state)
     cov = jnp.where(alive[:, None, None], kf_cov, cov)
 

@@ -222,7 +222,14 @@ def blur_solve_strip(tail, mcur, mtmp, vcat, vacc, hcat, mbb, odx_ref, ody_ref,
                      w: int, wp: int, s: int, hv: int):
     """Window-aggregate + 2x2 solve of strip ``t - 1`` from the three-strip
     M ring (tail of t-2, mcur = t-1, mtmp = t), writing the flow components.
-    ``t`` is the LEVEL-LOCAL warp strip index (caller guards t >= 1)."""
+    ``t`` is the LEVEL-LOCAL warp strip index (caller guards t >= 1).
+
+    A hybrid log-tree aggregation (pairwise-doubling sliding sums on interior
+    strips/columns, exact cv2-order borders; ~2x fewer VPU adds) was built
+    and A/B'd on chip in r4 and REMOVED: 44.87 ms vs 45.22 ms for 5 chained
+    fused iterations at 1080p (same process, max flow diff 4.7e-5 px) — the
+    blur's adds ride under the strip DMA, so halving them buys <1% while
+    complicating the hottest kernel (BENCHMARKS.md r4)."""
     r = len(taps) // 2
 
     # edge replication (BORDER_REPLICATE semantics of the unfused path,

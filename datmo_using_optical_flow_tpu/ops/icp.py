@@ -196,7 +196,16 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             jnp.float32(-1.0), jnp.float32(-1.0), 0, cache0,
             jnp.zeros((3,), jnp.float32))
     transform, _, _, _, _, it, _, stats = jax.lax.while_loop(cond2, body, init)
-    return transform, it, eval_state, observables, cache0, stats
+    # The POST-LOOP observables (Open3D evaluates the final transform once
+    # more after its loop) always go through eval_full — exact plain 1-NN,
+    # identical values to eval_cached with a cold cache (both paths are exact
+    # direct-subtraction d2 with original-index tie-breaks).  Using
+    # eval_cached here was a measured 110x pathology when the surrounding
+    # program has further consumers: the second nearest_neighbors_active_inplace
+    # instance after the while_loop scheduled catastrophically (+1120 ms at
+    # reference load, isolated by benchmarks/diag_gmfa_liveness.py — only
+    # programs where `fitness` was live paid it; r4 chip bisection).
+    return transform, it, eval_full, observables, cache0, stats
 
 
 # targets at or above this size default to incremental correspondence search
@@ -305,10 +314,10 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                                        relative_rmse, max_iterations, t0,
                                        cached=False)
 
-    transform, it_f, eval_state, observables, cache0, stats = _icp_phase(
+    transform, it_f, eval_final, observables, cache0, stats = _icp_phase(
         srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
         max_iterations, t0, cached, tgt_index=tgt_index, cap2=cap2)
-    _, _, d2, corr, _, _ = eval_state(transform, cache0)
+    _, _, d2, corr, _, _ = eval_final(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
     return IcpResult(transform, fitness, rmse, it_c + it_f, stats)
 
