@@ -129,6 +129,12 @@ def main():
           prev, prev_m, cur, cur_m)
     timed("icp cached=False (full sweep / iteration)", mk(30, cached=False),
           prev, prev_m, cur, cur_m)
+    timed("icp sweep=compact (argsort-compacted actives)", mk(30, sweep="compact"),
+          prev, prev_m, cur, cur_m)
+    # transform equivalence of the two sweep modes (same exact NNs)
+    ta = mk(30)(prev, prev_m, cur, cur_m)
+    tb = mk(30, sweep="compact")(prev, prev_m, cur, cur_m)
+    log(f"  inplace-vs-compact max |dT| = {float(jnp.max(jnp.abs(ta - tb))):.2e}")
 
     # ---- single in-place kernel sweep: all-active vs ~30% coherent-active ----
     order = jax.jit(nn_pallas.sort_order)(cur, cur_m)

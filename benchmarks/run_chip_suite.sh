@@ -45,6 +45,7 @@ fi
 run micro_flow    900 python benchmarks/micro_flow.py
 run gmfa          1200 python benchmarks/bench_gmfa.py
 run profile_nn    1200 python benchmarks/profile_gmfa_nn.py
+run icp_sound     1200 python benchmarks/diag_icp_sound.py
 if [ "$MODE" = full ]; then
   run bench        900 python bench.py
   run flow_batched 900 python benchmarks/bench_flow_batched.py

@@ -53,13 +53,25 @@ MAX_TARGET = 1 << 18
 ALPHA = np.float32(1e-5)
 # A bf16 hi/lo-split cross term (three bf16 passes: hi*hi + hi*lo + lo*hi
 # with f32 accumulation, USE_HILO) was A/B'd on chip in r4 and REMOVED:
-# 18.08 ms vs 17.16 ms for the f32 dot at the 102400^2 reference sweep —
-# Mosaic's f32 matmul (one pass at ~1/2 the bf16 rate) beats three bf16
-# passes, and the wider ALPHA envelope it needed also cost pruning
-# tightness.  See BENCHMARKS.md r4.
+# 18.08 ms vs 17.16 ms for the unannotated f32 dot at the 102400^2
+# reference sweep.  CAUTION (r4 precision audit): that unannotated dot's
+# default MXU lowering rounds inputs far below f32 — it produced wrong
+# winners on ~31% of rows at reference load (benchmarks/diag_icp_sound.py
+# vs f64 KDTree truth).  The kernel therefore pins precision=HIGHEST
+# (exact-f32 multi-pass; full sweep 12.25 -> 17.83 ms), which the ALPHA
+# envelope below is budgeted for.  See PARITY.md "Round-4 precision audit".
 # absolute slack (meters) subtracted from the geometric tile bound to cover
 # its own f32 rounding
 _LB_PAD = np.float32(1e-3)
+# Cross-term matmul precision (r4 soundness audit, DATMO_NN_DOT_PRECISION to
+# A/B): the f64-KDTree probe (benchmarks/diag_icp_sound.py) found wrong
+# winners on ~31% of rows at reference load with d2 errors ~1e-4..1e-3 — the
+# scale of the MXU's reduced-precision f32 lowering, not of true-f32 ulps.
+# HIGHEST forces the exact-f32 multi-pass lowering.
+import os as _os
+_DOT_PRECISION = {
+    "default": None, "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("DATMO_NN_DOT_PRECISION", "highest")]
 _BIG_I = np.int32(2 ** 30)
 
 
@@ -246,7 +258,8 @@ def _kernel_body(t, cap_ref, lb_ref, j0_ref, tgt_ref, tn_ref, tidx_ref, src_ref,
         tn = jnp.where(tn_raw < jnp.float32(3e38), tpn, jnp.inf)
         cross = jax.lax.dot_general(
             sp, tp, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION)
         # sn is constant per row: left out of the (B, T) pass (it shifts
         # every candidate equally, so the argmin is unchanged), added back
         # after the reductions

@@ -180,18 +180,20 @@ def test_icp_cached_matches_uncached():
     for thr in (0.05, 0.5):
         ref = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
                                jnp.asarray(m), threshold=thr, cached=False)
-        got = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
-                               jnp.asarray(m), threshold=thr, cached=True)
-        # bit-identical on device (same Mosaic kernel per re-queried row; the
-        # exclusion bound is conservative); CPU interpret mode admits ~ulp
-        # refusion drift, so compare at tight float tolerance
-        np.testing.assert_allclose(np.asarray(ref.transformation),
-                                   np.asarray(got.transformation),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(ref.fitness), np.asarray(got.fitness),
-                                   rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
-                                   np.asarray(got.inlier_rmse), rtol=1e-4)
+        for sweep in ("compact", "inplace"):
+            got = registration_icp(jnp.asarray(src), jnp.asarray(m),
+                                   jnp.asarray(dst), jnp.asarray(m),
+                                   threshold=thr, cached=True, sweep=sweep)
+            # bit-identical on device (same Mosaic kernel per re-queried row;
+            # the exclusion bound is conservative); CPU interpret mode admits
+            # ~ulp refusion drift, so compare at tight float tolerance
+            np.testing.assert_allclose(np.asarray(ref.transformation),
+                                       np.asarray(got.transformation),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ref.fitness),
+                                       np.asarray(got.fitness), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
+                                       np.asarray(got.inlier_rmse), rtol=1e-4)
 
 
 def test_icp_early_exit_criteria_fire():
