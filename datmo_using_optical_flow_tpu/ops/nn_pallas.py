@@ -83,6 +83,8 @@ class TargetIndex(NamedTuple):
     tidx: jnp.ndarray        # (m_tiles, 1, T) int32 ORIGINAL indices
     tile_cent: jnp.ndarray   # (m_tiles, 3) tile bounding-box centers
     tile_rad: jnp.ndarray    # (m_tiles,) tile bounding radii (inf if empty)
+    tile_lo: jnp.ndarray     # (m_tiles, 3) tile AABB mins (+inf if empty)
+    tile_hi: jnp.ndarray     # (m_tiles, 3) tile AABB maxs (-inf if empty)
 
 
 def _morton_keys(p: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +160,7 @@ def build_target_index(tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
         packed=tgt_p.reshape(m_tiles, _TGT_TILE, 8).transpose(0, 2, 1),
         tn=tn.reshape(m_tiles, 1, _TGT_TILE),
         tidx=tidx_p.reshape(m_tiles, 1, _TGT_TILE),
-        tile_cent=cent, tile_rad=rad)
+        tile_cent=cent, tile_rad=rad, tile_lo=lo, tile_hi=hi)
 
 
 def _kernel(na_ref, cap_ref, lb_hbm, to_hbm, tgt_ref, tn_ref, tidx_ref, src_ref,
@@ -373,7 +375,20 @@ def build_block_table(src: jnp.ndarray, index: TargetIndex,
     bc = (blo + bhi) * 0.5
     br = jnp.max(jnp.linalg.norm(blocks - bc[:, None, :], axis=2), axis=1)
     d_ct = jnp.linalg.norm(bc[:, None, :] - index.tile_cent[None, :, :], axis=2)
-    lb = jnp.maximum(d_ct - br[:, None] - index.tile_rad[None, :] - _LB_PAD, 0.0)
+    ball = d_ct - br[:, None] - index.tile_rad[None, :]
+    # AABB gap bound: Morton blocks/tiles are box-shaped, and the
+    # per-dimension gap norm is far tighter than center-distance minus ball
+    # radii (a ~2.3 m cube's half-diagonal is ~2 m of pure slack — the r2
+    # "pruning ceiling"; for tiles two cells away the gap bound is ~4x
+    # tighter).  Sound: for any p in the block box and q in the tile box,
+    # |p_d - q_d| >= gap_d per dimension.  Both bounds are valid — take the
+    # larger.  Drift reuse is unaffected (any lower bound minus the max
+    # displacement stays a lower bound).
+    gap = jnp.maximum(
+        jnp.maximum(index.tile_lo[None, :, :] - bhi[:, None, :],
+                    blo[:, None, :] - index.tile_hi[None, :, :]), 0.0)
+    aabb = jnp.linalg.norm(gap, axis=2)
+    lb = jnp.maximum(jnp.maximum(ball, aabb) - _LB_PAD, 0.0)
     lb = jnp.where(jnp.isfinite(index.tile_rad)[None, :], lb, jnp.inf)
     m_tiles = index.packed.shape[0]
     torder = jnp.argsort(lb, axis=1).astype(jnp.int32)
