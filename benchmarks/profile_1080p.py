@@ -165,7 +165,11 @@ def main():
         acc = jnp.float32(0)
         for _ in range(REPS):
             c2, out = _datmo_tail(f + acc * 1e-30, jnp.asarray(True), c.step, cfg)
-            acc = out.magnitude[0, 0]
+            # checksum FULL outputs + carry: consuming a single element lets
+            # XLA slice away DBSCAN/tracker entirely (the r2 DCE lesson — an
+            # earlier form of this probe measured the tail at ~0 ms)
+            acc = sum(jnp.sum(x.astype(jnp.float32)) for x in
+                      jax.tree.leaves((c2, out)))
         return acc
 
     timed("datmo tail (masks+dbscan+tracker)", run_tail, flow_real, carry2)

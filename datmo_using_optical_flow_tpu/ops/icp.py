@@ -137,23 +137,19 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             _, d2_new, lo_q, b2_q, crd_new = nearest_neighbors_active_inplace(
                 pts, tgtf, tmask, need, tgt_index, cap2=cap2,
                 block_table=block_table, drift=drift)
-        elif tgt_index is not None:
-            # compacting variant: one (inactive, morton) argsort per
-            # iteration moves active rows to the front, keeping them
-            # mutually Morton-coherent — the active set on real loads (the
+        else:
+            # compacting variant (the default): a cumsum stable partition
+            # moves active rows to the front, keeping them mutually
+            # Morton-coherent — the active set on real loads (the
             # correspondence shell + exclusion churn) is SCATTERED across
             # blocks, where in-place block skipping degenerates to a full
             # sweep (r4 profile: 33% scattered-active in-place 11.74 ms vs
-            # 12.25 full, vs 4.42 coherent)
-            idx_new, d2_new, lo_q = nearest_neighbors_active(
+            # 12.25 full, vs 4.42 coherent).  Winner coords come from the
+            # kernel (no target gather) and the second-NN bound feeds the
+            # same certificates as the in-place path.  (tgt_index None falls
+            # through to the exact XLA sweep inside, which never certifies.)
+            _, d2_new, lo_q, b2_q, crd_new = nearest_neighbors_active(
                 pts, tgtf, tmask, need, index=tgt_index, cap2=cap2)
-            crd_new = tgtf[idx_new]
-            b2_q = jnp.zeros_like(d2_new)   # compacting path: never certify
-        else:
-            idx_new, d2_new, lo_q = nearest_neighbors_active(
-                pts, tgtf, tmask, need, cap2=cap2)
-            crd_new = tgtf[idx_new]
-            b2_q = jnp.zeros_like(d2_new)   # fallback path: never certify
         # d2_new is the exact direct-subtraction distance at the winner;
         # certified rows contribute their exact carried-winner distance;
         # excluded rows +inf (provably outside the gate).
@@ -283,16 +279,19 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     coherence, and the results are permutation-independent).
 
     ``sweep``: how per-iteration re-queries visit the active subset.
-    ``"compact"`` (default): one (inactive, morton) argsort per iteration
-    moves active rows to the front, mutually Morton-coherent — on real loads
-    the active set (correspondence shell + exclusion churn) is SCATTERED
-    across blocks, where the alternative degenerates.  ``"inplace"``: rows
-    stay put and whole inactive blocks skip; wins only when actives are
-    block-coherent.  r4 chip A/B at reference load: compact 382 ms vs
-    inplace 458 ms for the 30-iteration ICP; transforms agree within the
-    f32 summation-order chaos envelope of the non-converged loop (the exact
-    uncached loop run on a permuted source diverges from itself by the same
-    ~1e-2; benchmarks/diag_icp_equiv.py).
+    ``"compact"`` (default): a cumsum stable partition moves active rows to
+    the front (keeping their carried Morton coherence; the partition's
+    destination array is its own inverse permutation, so un-permuting the
+    results costs two gathers) — on real loads the active set (correspondence
+    shell + exclusion churn) is SCATTERED across blocks, where the
+    alternative degenerates.  ``"inplace"``: rows stay put and whole inactive
+    blocks skip; wins only when actives are block-coherent.  r4 chip A/B at
+    reference load: compact 382 ms vs inplace 458 ms for the 30-iteration
+    ICP (before the partition/certificate rework); transforms agree within
+    the f32 summation-order chaos envelope of the non-converged loop (the
+    exact uncached loop run on a permuted source diverges from itself by the
+    same ~1e-2; benchmarks/diag_icp_equiv.py).  Winner certificates (the
+    second-NN-bound skip) apply on BOTH sweeps.
     """
     srcf = source.astype(jnp.float32)
     tgtf = target.astype(jnp.float32)

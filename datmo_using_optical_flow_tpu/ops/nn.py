@@ -67,8 +67,15 @@ def nearest_neighbors_with_bound(src: jnp.ndarray, tgt: jnp.ndarray,
         idx_s, d2_s, lo_s, _, crd_s = nn_pallas.nearest_neighbors_pallas(
             src[order], index, cap2=cap2)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(n, dtype=jnp.int32))
-        idx, d2, lo, crd = idx_s[inv], d2_s[inv], lo_s[inv], crd_s[inv]
+            jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+        # un-permute with TWO gathers instead of five: XLA row gathers cost
+        # ~constant per index for rows up to 32 bytes, so the f32 results ride
+        # in one (n, 5) packed gather (idx keeps its own int gather — bitcasting
+        # indices into the float row would risk denormal-flush on the way)
+        packed = jnp.concatenate(
+            [d2_s[:, None], lo_s[:, None], crd_s], axis=1)[inv]
+        idx = idx_s[inv]
+        d2, lo, crd = packed[:, 0], packed[:, 1], packed[:, 2:5]
         # exact d2 at the winner by direct subtraction of the kernel-returned
         # winner COORDS (no target gather): the sweep value carries the
         # recentered expansion's rounding; the returned distance should be
@@ -126,50 +133,82 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray, active: jnp.ndarray,
                              index=None, cap2=None
-                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """1-NN (+ lower bound) for only the ``active`` subset of source rows; cost
-    scales with the subset size (the incremental-ICP hot path,
-    :func:`ops.icp.registration_icp`).
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray, jnp.ndarray]:
+    """1-NN for only the ``active`` subset of source rows; cost scales with
+    the subset size (the cached-ICP hot path, :func:`ops.icp.registration_icp`).
 
-    Active rows get exactly what :func:`nearest_neighbors_with_bound` would
-    return (bit-identical: each row's reduction is row-independent); inactive
-    rows return idx=0 / +inf / +inf.  One stable argsort on
-    ``(inactive, morton)`` both compacts active rows to the front AND keeps
-    each source block spatially coherent; the Pallas kernel's ``n_active``
-    scalar lets whole inactive blocks skip the target sweep.
+    Returns ``(idx, d2, lower_bound, second_lower_bound, coords)`` — the same
+    contract as :func:`nearest_neighbors_active_inplace`: active rows get
+    exactly what the full query would return (bit-identical: each row's
+    reduction is row-independent); inactive rows return idx=0 / +inf / +inf /
+    0 / zeros.  ``second_lower_bound`` soundly bounds the distance to the
+    closest target EXCLUDING the winner (the ICP winner-certificate input);
+    ``coords`` are the winner's exact coordinates, selected in-kernel, so
+    callers need no target gather.
+
+    Active rows are compacted to the front by a STABLE PARTITION computed
+    with one cumsum: callers keep ``src`` spatially sorted (ICP Morton-permutes
+    its cloud once, outside the while_loop), and a stable partition preserves
+    that order within the active prefix, so partitioned actives stay mutually
+    Morton-coherent.  The partition's destination array is its own inverse
+    permutation, so the per-iteration cost is one cumsum + one row scatter +
+    two result gathers — replacing the previous stable argsort +
+    scatter-invert + five separate gathers.  (With an unsorted ``src`` the
+    results are still exact; only pruning tightness suffers.)
 
     ``cap2``: optional squared-distance search cap (see
     :func:`ops.nn_pallas.nearest_neighbors_pallas`): rows with true NN d2
     below the cap stay exact; rows above it return d2 >= cap2 with a sound
     lower bound.  The XLA fallback ignores it (always exact — a valid
-    instance of the capped contract).
+    instance of the capped contract) and never certifies (second bound 0).
     """
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
     n = src.shape[0]
+    srcf = src.astype(jnp.float32)
     if not nn_pallas.eligible(tgt.shape[0]):
         # fallback: full sweep, masked outputs (no savings, used by CPU tests
         # and oversized targets)
         idx, d2, lo = nearest_neighbors_with_bound(src, tgt, tgt_mask)
+        crd = jnp.where(jnp.isfinite(d2)[:, None],
+                        tgt.astype(jnp.float32)[idx], 0.0)
+        act = active[:, None]
         return (jnp.where(active, idx, 0),
                 jnp.where(active, d2, jnp.inf),
-                jnp.where(active, lo, jnp.inf))
+                jnp.where(active, lo, jnp.inf),
+                jnp.zeros((n,), jnp.float32),
+                jnp.where(act, crd, 0.0))
 
     if index is None:
         index = nn_pallas.build_target_index(tgt, tgt_mask)
-    key = nn_pallas._morton_keys(src) | jnp.where(active, 0, jnp.int32(1 << 30))
-    order = jnp.argsort(key, stable=True)
-    n_active = jnp.sum(active.astype(jnp.int32))
-    idx_s, d2_s, lo_s, _, crd_s = nn_pallas.nearest_neighbors_pallas(
-        src[order], index, n_active, cap2)
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    idx, d2, lo, crd = idx_s[inv], d2_s[inv], lo_s[inv], crd_s[inv]
-    diff = src.astype(jnp.float32) - crd
+    act32 = active.astype(jnp.int32)
+    csum = jnp.cumsum(act32)
+    n_active = csum[-1]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    # stable-partition destination: actives keep their relative (Morton)
+    # order at the front, inactives theirs at the back
+    pos = jnp.where(active, csum - 1, n_active + (ar - csum))
+    src_c = jnp.zeros((n, 3), jnp.float32).at[pos].set(srcf,
+                                                       unique_indices=True)
+    idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
+        src_c, index, n_active, cap2)
+    # un-permute with TWO gathers (pos IS the inverse permutation): one packed
+    # (n, 6) f32 row — XLA row gathers cost ~constant per index up to 32-byte
+    # rows — plus the int32 indices (bitcasting them into the float row would
+    # risk denormal flushing)
+    packed = jnp.concatenate(
+        [d2_s[:, None], lo_s[:, None], b2_s[:, None], crd_s], axis=1)[pos]
+    idx = idx_s[pos]
+    d2, lo, b2, crd = packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3:6]
+    diff = srcf - crd
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)
     lo = jnp.minimum(lo, d2)
     return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
-            jnp.where(active, lo, jnp.inf))
+            jnp.where(active, lo, jnp.inf),
+            jnp.where(active, b2, 0.0),
+            jnp.where(active[:, None], crd, 0.0))
 
 
 def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,

@@ -68,19 +68,29 @@ def test_nearest_neighbors_active_matches_full():
     tgt = rng.normal(size=(4096, 3)).astype(np.float32)  # >= pallas threshold
     mask = np.ones(4096, bool)
     mask[4000:] = False
+    # second-nearest oracle among the VALID targets (certificate soundness)
+    d2nd_true, _ = cKDTree(tgt[:4000]).query(src, k=2)
+    d2nd_true = (d2nd_true[:, 1] ** 2).astype(np.float32)
     for frac in (0.0, 0.3, 1.0):
         active = rng.uniform(size=500) < frac
-        ia, da, la = nearest_neighbors_active(jnp.asarray(src), jnp.asarray(tgt),
-                                              jnp.asarray(mask), jnp.asarray(active))
+        ia, da, la, b2a, ca = map(np.asarray, nearest_neighbors_active(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(active)))
         i0, d0 = nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
                                    jnp.asarray(mask))
-        ia, da, la, i0, d0 = map(np.asarray, (ia, da, la, i0, d0))
+        i0, d0 = map(np.asarray, (i0, d0))
         np.testing.assert_array_equal(ia[active], i0[active])
+        # winner coords are the indexed target rows, exactly
+        np.testing.assert_array_equal(ca[active], tgt[ia[active]])
         # on-device both paths run the same Mosaic binary per row (bit-equal);
         # CPU interpret mode re-fuses the kernel body into each surrounding
         # graph, which can reassociate f32 math by ~1 ulp
         np.testing.assert_allclose(da[active], d0[active], rtol=3e-5, atol=1e-7)
         assert (la[active] <= da[active] + 1e-7).all()  # bound is sound
+        # second-nearest bound: sound vs f64 KDTree truth, zero when inactive
+        ok = b2a[active] <= d2nd_true[active] + 1e-5 * (1.0 + d2nd_true[active])
+        assert ok.all()
+        assert (b2a[~active] == 0.0).all()
         assert (ia[~active] == 0).all() and np.isinf(da[~active]).all()
 
 
