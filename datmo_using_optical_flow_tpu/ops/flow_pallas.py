@@ -175,7 +175,7 @@ def _fused_kernel(r1_hbm, r0_ref, dx_ref, dy_ref, odx_ref, ody_ref,
     def _():
         phase = (t % n_slots) * s
         warp_pallas._warp_into(mtmp, win, r0_ref, dx_ref, dy_ref, None,
-                               h=h, w=w, wp=wp, ww=ww, s=s, t=t, rowbuf=rowbuf,
+                               h=h, w=w, wp=wp, s=s, t=t, rowbuf=rowbuf,
                                phase=phase)
         replicate_last_strip_pad(mtmp, t, n_strips=n_strips, hv=hv, s=s, wp=wp)
 

@@ -15,9 +15,10 @@ into VMEM, loops ``a`` over the strip's actual floor(dy) range (row-roll, a
 proven-fast dynamic op on this backend — dynamic ``pl.ds`` offsets do not
 compile), and for each ``a`` loops ``b`` over the masked floor(dx) range
 (lane-roll), accumulating mask-weighted bilinear corners.  Smooth scenes
-execute a handful of (a, b) blocks per strip; the shifts never touch HBM.
-Measured: 5.5 ms/warp at 1080p vs 12 ms for the packed single-gather path,
-exact to f32 roundoff (no int16/int8 quantization like ``fast_warp``).
+execute a handful of (a, b) blocks per strip-chunk; the shifts never touch
+HBM.  Measured: 1.30 ms/warp at 1080p (ring-DMA window + 512-lane column
+chunking) vs 12 ms for the packed single-gather path, exact to f32 roundoff
+(no int16/int8 quantization like ``fast_warp``).
 
 The full update_matrices algebra (inside mask, OpenCV border attenuation, the
 normal-equation planes M) is fused in, so one kernel reads (R0, R1-window,
@@ -49,6 +50,18 @@ WH = S + 2 * YOFF  # window rows (= 2*S: the ring-DMA slot math needs WH % S == 
 # clip bounds for the shift loops (geometric capability of the window)
 AMIN, AMAX = -YOFF, YOFF - 2
 BMIN, BMAX = -XOFF, XOFF - 2
+# Column-chunked inner loops: the strip is processed in CHUNK-lane column
+# chunks, each looping only over ITS OWN floor-shift ranges — flow fields are
+# spatially smooth, so a shift present in one image region rolls / mask-tests
+# / accumulates only those columns.  Bit-exact vs the old full-width form
+# (each pixel's four corner FMAs happen in ONE visit to its own (a, b) cell;
+# other cells add mask-zeroed terms, so the per-pixel FMA chain is unchanged).
+# On-chip A/B at 1080p with converged real flow (benchmarks/ab_warp_chunk.py,
+# r4): full-width 2.34 / 512 -> 1.66 ms per fused iteration, standalone warp
+# 1.90 -> 1.30 ms, max diff 0.0; 768/384/256 all slower than 512.  The win is
+# the chunk x shift sparsity: a (a, b) block pays rolls and masked FMAs only
+# where that shift actually occurs, which beats the extra per-chunk row rolls.
+CHUNK = 512
 
 
 def _axis_atten(idx_f: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -62,7 +75,7 @@ def _axis_atten(idx_f: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
-               wp: int, ww: int, s: int, t, rowbuf=None, phase=None,
+               wp: int, s: int, t, rowbuf=None, phase=None,
                clip_ref=None):
     """Shift-decomposition warp + update_matrices algebra for one ``s``-row
     strip starting at row ``t*s``; writes the five M planes into ``m_ref``
@@ -75,7 +88,7 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     window row k lives at ``win`` row ``(phase + k) % win_rows``.  The shift
     rolls are circular anyway, so a ring-buffered window costs nothing here.
 
-    ``rowbuf`` (optional (5, >=s+1, ww) scratch): stage the per-``a`` row roll
+    ``rowbuf`` (optional (5, >=s+1, >=window-cols) scratch): stage the per-``a`` row roll
     once and lane-roll from it per ``b`` — halves the scoped-VMEM peak of the
     inner loop (one window-sized temporary instead of two), which the fused
     kernel needs to stay under the 16 MB budget.
@@ -124,65 +137,88 @@ def _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, copy, *, h: int, w: int,
     y1 = jnp.clip(y1, AMIN, AMAX)
     x1 = jnp.clip(x1, BMIN, BMAX)
 
-    alo = jnp.min(y1).astype(jnp.int32)
-    ahi = jnp.max(y1).astype(jnp.int32)
-
     # warped-R1 accumulators live in m_ref (reused before final assembly)
     for c in range(5):
         m_ref[c] = jnp.zeros((s, wp), jnp.float32)
     if copy is not None:
         copy.wait()
 
-    def body_a(a, _):
-        ma = y1 == a.astype(jnp.float32)
+    for j0 in range(0, wp, CHUNK):
+        ch = min(CHUNK, wp - j0)
+        chw = ch + 2 * XOFF          # window columns this chunk reads
+        y1c = y1[:, j0:j0 + ch]
+        x1c = x1[:, j0:j0 + ch]
+        a00c = a00[:, j0:j0 + ch]
+        a01c = a01[:, j0:j0 + ch]
+        a10c = a10[:, j0:j0 + ch]
+        a11c = a11[:, j0:j0 + ch]
+        alo = jnp.min(y1c).astype(jnp.int32)
+        ahi = jnp.max(y1c).astype(jnp.int32)
 
-        @pl.when(jnp.any(ma))
-        def _():
-            blo = jnp.min(jnp.where(ma, x1, jnp.inf)).astype(jnp.int32)
-            bhi = jnp.max(jnp.where(ma, x1, -jnp.inf)).astype(jnp.int32)
-            off = YOFF + a if phase is None else phase + YOFF + a
-            shift = (wh - off) % wh
-            if rowbuf is not None:
-                nb = rowbuf.shape[1]
-                rowbuf[...] = pltpu.roll(win[...], shift, 1)[:, :nb, :]
+        def body_a(a, _, *, j0=j0, ch=ch, chw=chw, y1c=y1c, x1c=x1c,
+                   a00c=a00c, a01c=a01c, a10c=a10c, a11c=a11c):
+            ma = y1c == a.astype(jnp.float32)
 
-            def body_b(b, __):
-                # [blo, bhi] can have gaps (no pixel with this (a, b) shift —
-                # e.g. background at b=0 plus one object at b=5): testing the
-                # mask (~3 VPU passes) before the ~25-pass accumulate skips
-                # empty blocks
-                mbm = ma & (x1 == b.astype(jnp.float32))
+            @pl.when(jnp.any(ma))
+            def _():
+                blo = jnp.min(jnp.where(ma, x1c, jnp.inf)).astype(jnp.int32)
+                bhi = jnp.max(jnp.where(ma, x1c, -jnp.inf)).astype(jnp.int32)
+                off = YOFF + a if phase is None else phase + YOFF + a
+                shift = (wh - off) % wh
+                if rowbuf is not None:
+                    nb = rowbuf.shape[1]
+                    rowbuf[:, :, :chw] = pltpu.roll(
+                        win[:, :, j0:j0 + chw], shift, 1)[:, :nb, :]
 
-                @pl.when(jnp.any(mbm))
-                def _():
-                    # without rowbuf: recompute the row roll per b (the
-                    # standalone kernel's out-block budget has no room for the
-                    # scratch)
-                    bshift = (ww - (XOFF + b)) % ww
-                    if rowbuf is not None:
-                        p = pltpu.roll(rowbuf[...], bshift, 2)
-                    else:
-                        p = pltpu.roll(
-                            pltpu.roll(win[...], shift, 1)[:, :s + 1, :],
-                            bshift, 2)
-                    mb = mbm.astype(jnp.float32)
-                    u00 = a00 * mb
-                    u01 = a01 * mb
-                    u10 = a10 * mb
-                    u11 = a11 * mb
-                    for c in range(5):
-                        m_ref[c] = (m_ref[c] + u00 * p[c, :s, :wp]
-                                    + u01 * p[c, :s, 1:wp + 1]
-                                    + u10 * p[c, 1:s + 1, :wp]
-                                    + u11 * p[c, 1:s + 1, 1:wp + 1])
-                return 0
+                def body_b(b, __):
+                    # [blo, bhi] can have gaps (no pixel with this (a, b)
+                    # shift — e.g. background at b=0 plus one object at b=5):
+                    # testing the mask (~3 VPU passes) before the ~25-pass
+                    # accumulate skips empty blocks
+                    mbm = ma & (x1c == b.astype(jnp.float32))
 
-            jax.lax.fori_loop(blo, bhi + 1, body_b, 0)
-        return 0
+                    @pl.when(jnp.any(mbm))
+                    def _():
+                        # lane l of the rolled chunk reads window column
+                        # j0 + l + XOFF + b; l + XOFF + b <= ch + 126 < chw
+                        # for b <= BMAX, so the circular roll never wraps
+                        # into the lanes consumed below
+                        bshift = (chw - (XOFF + b)) % chw
+                        if rowbuf is not None:
+                            p = pltpu.roll(rowbuf[:, :, :chw], bshift, 2)
+                        else:
+                            # without rowbuf: recompute the row roll per b
+                            # (the standalone kernel's out-block budget has
+                            # no room for the scratch)
+                            p = pltpu.roll(
+                                pltpu.roll(win[:, :, j0:j0 + chw],
+                                           shift, 1)[:, :s + 1, :],
+                                bshift, 2)
+                        mb = mbm.astype(jnp.float32)
+                        u00 = a00c * mb
+                        u01 = a01c * mb
+                        u10 = a10c * mb
+                        u11 = a11c * mb
+                        for c in range(5):
+                            m_ref[c, :, j0:j0 + ch] = (
+                                m_ref[c, :, j0:j0 + ch]
+                                + u00 * p[c, :s, :ch]
+                                + u01 * p[c, :s, 1:ch + 1]
+                                + u10 * p[c, 1:s + 1, :ch]
+                                + u11 * p[c, 1:s + 1, 1:ch + 1])
+                    return 0
 
-    jax.lax.fori_loop(alo, ahi + 1, body_a, 0)
+                jax.lax.fori_loop(blo, bhi + 1, body_b, 0)
+            return 0
 
-    # update_matrices algebra (ops/farneback.py:283-301), fused
+        jax.lax.fori_loop(alo, ahi + 1, body_a, 0)
+
+    _warp_epilogue(m_ref, r0_ref, dx, dy, inside, gi, gj, h=h, w=w)
+
+
+def _warp_epilogue(m_ref, r0_ref, dx, dy, inside, gi, gj, *, h: int, w: int):
+    """update_matrices algebra (ops/farneback.py:283-301), fused: turn the
+    accumulated warped-R1 planes in ``m_ref`` into the five M planes."""
     r0 = r0_ref[...]
     r2 = jnp.where(inside, m_ref[0], 0.0)
     r3 = jnp.where(inside, m_ref[1], 0.0)
@@ -249,7 +285,7 @@ def _kernel(r1_hbm, r0_ref, dx_ref, dy_ref, m_ref, win, rowbuf, sem,
         ring_rows(r1_hbm, win, sem, t, 1, S, "wait")
 
     _warp_into(m_ref, win, r0_ref, dx_ref, dy_ref, None,
-               h=h, w=w, wp=wp, ww=ww, s=S, t=t, rowbuf=rowbuf,
+               h=h, w=w, wp=wp, s=S, t=t, rowbuf=rowbuf,
                phase=(t % n_slots) * S)
 
     # prefetch the next strip's new rows: they overwrite the slot this strip
