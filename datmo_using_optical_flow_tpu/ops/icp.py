@@ -69,7 +69,7 @@ _DELTA_PAD = 1e-4
 
 def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
                max_iterations, init_transform, cached, tgt_index=None,
-               cap2=None, sweep: str = "inplace"):
+               cap2=None, sweep: str = "inplace", active_cap: int | None = None):
     """One ICP while_loop phase (Open3D criteria) from ``init_transform``.
     Returns the converged transform."""
     n = srcf.shape[0]
@@ -149,7 +149,8 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
             # same certificates as the in-place path.  (tgt_index None falls
             # through to the exact XLA sweep inside, which never certifies.)
             _, d2_new, lo_q, b2_q, crd_new = nearest_neighbors_active(
-                pts, tgtf, tmask, need, index=tgt_index, cap2=cap2)
+                pts, tgtf, tmask, need, index=tgt_index, cap2=cap2,
+                active_cap=active_cap)
         # d2_new is the exact direct-subtraction distance at the winner;
         # certified rows contribute their exact carried-winner distance;
         # excluded rows +inf (provably outside the gate).
@@ -224,7 +225,7 @@ _CACHED_MIN = 1 << 15
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "cached", "coarse_stride",
-                                   "search_cap", "sweep"))
+                                   "search_cap", "sweep", "active_cap"))
 def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                      target: jnp.ndarray, target_mask: jnp.ndarray,
                      threshold: float = 0.02, max_iterations: int = 30,
@@ -234,7 +235,8 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                      coarse_stride: int | None = None,
                      search_cap: float | None = None,
                      tgt_index=None, src_order=None,
-                     sweep: str = "compact") -> IcpResult:
+                     sweep: str = "compact",
+                     active_cap: int | None = 32768) -> IcpResult:
     """ICP with identity init (the reference always passes I, GMFA.py:302).
 
     ``cached`` (default: on for targets >= 32k points) enables incremental
@@ -292,6 +294,16 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
     exact uncached loop run on a permuted source diverges from itself by the
     same ~1e-2; benchmarks/diag_icp_equiv.py).  Winner certificates (the
     second-NN-bound skip) apply on BOTH sweeps.
+
+    ``active_cap`` (static; compact sweep only): iterations whose active set
+    fits the cap run the kernel — and its per-iteration pruning-table build —
+    over only the first ``active_cap`` partitioned rows, with a ``lax.cond``
+    full-width fallback otherwise (every active row is always swept; results
+    bit-identical).  With the kernel's dynamic grid this removes the two
+    active-count-independent per-iteration costs (table build + skipped-block
+    grid overhead) that dominated the cached iteration at reference load
+    (r4 ``benchmarks/diag_nn_active.py``: 6.04 ms/call, of which table 1.69
+    + grid skip ~2.4).  ``None`` disables.
     """
     srcf = source.astype(jnp.float32)
     tgtf = target.astype(jnp.float32)
@@ -343,7 +355,8 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
 
     transform, it_f, eval_final, observables, cache0, stats = _icp_phase(
         srcf, smask, tgtf, target_mask, thr2, relative_fitness, relative_rmse,
-        max_iterations, t0, cached, tgt_index=tgt_index, cap2=cap2, sweep=sweep)
+        max_iterations, t0, cached, tgt_index=tgt_index, cap2=cap2, sweep=sweep,
+        active_cap=active_cap)
     _, _, d2, corr, _, _ = eval_final(transform, cache0)
     _, _, fitness, rmse = observables(d2, corr)
     return IcpResult(transform, fitness, rmse, it_c + it_f, stats)

@@ -132,7 +132,7 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
 
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray, active: jnp.ndarray,
-                             index=None, cap2=None
+                             index=None, cap2=None, active_cap: int | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray, jnp.ndarray]:
     """1-NN for only the ``active`` subset of source rows; cost scales with
@@ -162,6 +162,17 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     below the cap stay exact; rows above it return d2 >= cap2 with a sound
     lower bound.  The XLA fallback ignores it (always exact — a valid
     instance of the capped contract) and never certifies (second bound 0).
+
+    ``active_cap`` (static, multiple of the kernel block size): when set and
+    smaller than the cloud, iterations whose active count fits the cap run
+    the kernel — and rebuild the per-iteration pruning table — over only the
+    first ``active_cap`` partitioned rows (a ``lax.cond`` falls back to the
+    full-width call otherwise, so every active row is always swept).  With
+    the dynamic grid this cuts the two active-count-independent per-call
+    costs at ICP's ~13% steady state: the 400-block table build (1.7 ms ->
+    cap/cloud of it) and the skipped-block grid overhead (~2.4 ms -> 0)
+    (r4 ``benchmarks/diag_nn_active.py``).  Bit-identical for active rows:
+    the prefix blocks' contents, counts, and pruning bounds are unchanged.
     """
     from datmo_using_optical_flow_tpu.ops import nn_pallas
 
@@ -191,8 +202,30 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     pos = jnp.where(active, csum - 1, n_active + (ar - csum))
     src_c = jnp.zeros((n, 3), jnp.float32).at[pos].set(srcf,
                                                        unique_indices=True)
-    idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
-        src_c, index, n_active, cap2)
+    if (active_cap is not None and active_cap < n
+            and active_cap % nn_pallas._SRC_BLOCK == 0):
+        capb = active_cap
+        tail = n - capb
+
+        def _small(sc):
+            pre = sc[:capb]
+            tbl = nn_pallas.build_block_table(pre, index, capb)
+            i_, d_, l_, b_, c_ = nn_pallas.nearest_neighbors_pallas(
+                pre, index, n_active, cap2, block_table=tbl, dyn_grid=True)
+            # rows >= n_active <= capb are garbage either way; pad shape only
+            return (jnp.pad(i_, (0, tail)), jnp.pad(d_, (0, tail)),
+                    jnp.pad(l_, (0, tail)), jnp.pad(b_, (0, tail)),
+                    jnp.pad(c_, ((0, tail), (0, 0))))
+
+        def _full(sc):
+            return nn_pallas.nearest_neighbors_pallas(sc, index, n_active,
+                                                      cap2, dyn_grid=True)
+
+        idx_s, d2_s, lo_s, b2_s, crd_s = jax.lax.cond(
+            n_active <= capb, _small, _full, src_c)
+    else:
+        idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
+            src_c, index, n_active, cap2, dyn_grid=True)
     # un-permute with TWO gathers (pos IS the inverse permutation): one packed
     # (n, 6) f32 row — XLA row gathers cost ~constant per index up to 32-byte
     # rows — plus the int32 indices (bitcasting them into the float row would

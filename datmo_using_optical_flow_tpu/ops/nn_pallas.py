@@ -403,7 +403,8 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
                              n_active: jnp.ndarray | None = None,
                              cap2: jnp.ndarray | None = None,
                              block_counts: jnp.ndarray | None = None,
-                             block_table=None, drift=None
+                             block_table=None, drift=None,
+                             dyn_grid: bool = False
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray, jnp.ndarray]:
     """1-NN of each ``src`` row among the index's valid targets.
@@ -438,6 +439,17 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
     row has a candidate — the incremental-ICP sweep (ops/icp.py) only needs
     exact NNs inside the correspondence gate, so it caps the search a safety
     margin above it.
+
+    ``dyn_grid`` (compact-prefix callers only): launch a DYNAMIC grid of
+    ``ceil(n_active / _SRC_BLOCK)`` blocks instead of the static full grid.
+    Mosaic supports traced grid bounds; blocks past the active prefix are
+    never visited, so their output rows are UNINITIALIZED GARBAGE — callers
+    must mask everything at or beyond ``n_active`` (``nearest_neighbors_active``
+    does).  At ICP's steady state (~13% active) this removes the ~2-3 ms of
+    skipped-block grid overhead the static launch pays per call (r4
+    ``benchmarks/diag_nn_active.py``).  Ignored in interpret mode (the
+    interpreter needs a concrete grid); active rows' results are bit-identical
+    either way, so the CPU test path still pins the TPU path's values.
     """
     n = src.shape[0]
     np_ = -(-n // _SRC_BLOCK) * _SRC_BLOCK
@@ -475,10 +487,18 @@ def nearest_neighbors_pallas(src: jnp.ndarray, index: TargetIndex,
 
     centp = jnp.pad(cent, ((0, 0), (0, 5)))
     kernel = partial(_kernel, m_tiles=m_tiles)
+    interpret = jax.default_backend() == "cpu"
+    grid_b = n_blocks
+    if dyn_grid and not interpret:
+        # visit only the active prefix's blocks; unvisited rows are garbage
+        # the caller masks (docstring above)
+        grid_b = jnp.clip(
+            (jnp.asarray(n_active, jnp.int32) + _SRC_BLOCK - 1) // _SRC_BLOCK,
+            1, n_blocks)
     idx, d2, lo, d2nd, wxo, wyo, wzo = pl.pallas_call(
         kernel,
-        interpret=jax.default_backend() == "cpu",
-        grid=(n_blocks,),
+        interpret=interpret,
+        grid=(grid_b,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) n_active
                   pl.BlockSpec(memory_space=pltpu.SMEM),   # (1,) cap2
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lb2 rows

@@ -94,6 +94,28 @@ def test_nearest_neighbors_active_matches_full():
         assert (ia[~active] == 0).all() and np.isinf(da[~active]).all()
 
 
+def test_nearest_neighbors_active_cap_matches_uncapped():
+    """active_cap (capped-prefix kernel + lax.cond fallback) is bit-identical
+    to the uncapped call on active rows — both when the active count fits the
+    cap (small branch) and when it overflows (full-width fallback)."""
+    from datmo_using_optical_flow_tpu.ops.nn import nearest_neighbors_active
+
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(500, 3)).astype(np.float32)
+    tgt = rng.normal(size=(4096, 3)).astype(np.float32)
+    mask = np.ones(4096, bool)
+    for frac in (0.2, 0.9):  # ~100 actives (<= 256 cap) / ~450 (> cap)
+        active = rng.uniform(size=500) < frac
+        ref = [np.asarray(x) for x in nearest_neighbors_active(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(active))]
+        cap = [np.asarray(x) for x in nearest_neighbors_active(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(active), active_cap=256)]
+        for r, c in zip(ref, cap):
+            np.testing.assert_array_equal(r[active], c[active])
+
+
 # ------------------------------------------------------------------ ICP
 
 def _rigid(yaw, t):
@@ -204,6 +226,40 @@ def test_icp_cached_matches_uncached():
                                        np.asarray(got.fitness), rtol=1e-6)
             np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
                                        np.asarray(got.inlier_rmse), rtol=1e-4)
+
+
+def test_icp_active_cap_matches_uncapped():
+    """The capped-prefix active sweep (active_cap + lax.cond fallback) yields
+    the same ICP trajectory as the uncapped compact sweep: early iterations
+    overflow a 256-row cap (full-width branch), converged iterations fit it
+    (prefix branch) — both must agree with active_cap=None."""
+    rng = np.random.default_rng(23)
+    cloud = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    true = _rigid(0.012, [0.06, -0.05, 0.015])
+    target = (cloud @ true[:3, :3].T + true[:3, 3]
+              + rng.normal(scale=0.01, size=cloud.shape)).astype(np.float32)
+    pad = 4096
+    src = np.full((pad, 3), 1e9, np.float32)
+    src[:3000] = cloud
+    dst = np.full((pad, 3), 1e9, np.float32)
+    dst[:3000] = target
+    m = np.zeros(pad, bool)
+    m[:3000] = True
+    for thr in (0.05, 0.3):
+        ref = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True,
+                               active_cap=None)
+        got = registration_icp(jnp.asarray(src), jnp.asarray(m), jnp.asarray(dst),
+                               jnp.asarray(m), threshold=thr, cached=True,
+                               active_cap=256)
+        assert int(ref.iterations) == int(got.iterations)
+        np.testing.assert_allclose(np.asarray(ref.transformation),
+                                   np.asarray(got.transformation),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ref.fitness),
+                                   np.asarray(got.fitness), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.inlier_rmse),
+                                   np.asarray(got.inlier_rmse), rtol=1e-4)
 
 
 def test_icp_early_exit_criteria_fire():
