@@ -226,14 +226,22 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     else:
         idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
             src_c, index, n_active, cap2, dyn_grid=True)
-    # un-permute with TWO gathers (pos IS the inverse permutation): one packed
-    # (n, 6) f32 row — XLA row gathers cost ~constant per index up to 32-byte
-    # rows — plus the int32 indices (bitcasting them into the float row would
-    # risk denormal flushing)
+    # un-permute with ONE gather (pos IS the inverse permutation): the six f32
+    # results are bitcast to int32 and packed with the winner index into one
+    # (n, 7) int32 row — 28 bytes, inside the ~constant-cost-per-index row
+    # width; a gather is a pure memory op, so the float bit patterns (incl.
+    # inf/NaN garbage rows) pass through the int path untouched and bitcast
+    # back exactly.  The second (idx) gather this replaces cost ~0.4 ms per
+    # ICP iteration at reference load (r4 diag_icp_body: each 102400-index
+    # gather/scatter is per-index bound at ~4-5 ns/index).
+    fpack = jnp.concatenate(
+        [d2_s[:, None], lo_s[:, None], b2_s[:, None], crd_s], axis=1)
     packed = jnp.concatenate(
-        [d2_s[:, None], lo_s[:, None], b2_s[:, None], crd_s], axis=1)[pos]
-    idx = idx_s[pos]
-    d2, lo, b2, crd = packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3:6]
+        [jax.lax.bitcast_convert_type(fpack, jnp.int32), idx_s[:, None]],
+        axis=1)[pos]
+    fpart = jax.lax.bitcast_convert_type(packed[:, :6], jnp.float32)
+    idx = packed[:, 6]
+    d2, lo, b2, crd = fpart[:, 0], fpart[:, 1], fpart[:, 2], fpart[:, 3:6]
     diff = srcf - crd
     exact = jnp.sum(diff * diff, axis=1)
     d2 = jnp.where(jnp.isfinite(d2), exact, d2)

@@ -64,7 +64,13 @@ def test_compact_masked_topk_path_matches_scatter():
     from datmo_using_optical_flow_tpu.utils import padding
 
     rng = np.random.default_rng(0)
-    n = padding._SCATTER_MAX * 2  # forces the top_k path
+    # +37: not a multiple of the bitpacked rank search's 256-bit block; the
+    # two sizes force the top_k branch and the bitpacked branch respectively
+    for n in (padding._SCATTER_MAX * 2 + 37, padding._BITPACK_MIN + 37):
+        _check_compact_paths(rng, n)
+
+
+def _check_compact_paths(rng, n):
     x = rng.normal(size=(n, 4)).astype(np.float32)
     for frac, cap in ((0.0, 256), (0.001, 1024), (0.02, 512), (1.0, 777)):
         mask = rng.uniform(size=n) < frac
