@@ -554,7 +554,7 @@ def _stream_step_impl(bev: jnp.ndarray, carry: StreamCarry, cfg: PipelineAConfig
 
     fb = cfg.farneback
     pyr2 = build_pyramid(bev.astype(jnp.float32), fb.pyr_scale, fb.levels,
-                         fb.poly_n, fb.poly_sigma)
+                         fb.poly_n, fb.poly_sigma, use_pallas)
     flow = flow_from_pyramids(carry.pyr, pyr2, fb.pyr_scale, fb.winsize,
                               fb.iterations, use_pallas, fast_warp,
                               gaussian=bool(fb.flags & OPTFLOW_FARNEBACK_GAUSSIAN))

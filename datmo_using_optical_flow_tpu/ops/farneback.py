@@ -95,20 +95,35 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     rows1 = jnp.take(img, y1, axis=-2)
     wyj = jnp.asarray(wy)[:, None]
     v = rows0 * (1 - wyj) + rows1 * wyj
-    cols0 = jnp.take(v, x0, axis=-1)
-    cols1 = jnp.take(v, x1, axis=-1)
+    # column pass via transpose + row-take: a minor-axis (lane) gather costs
+    # ~2.2x a sublane gather plus two transposes on TPU (0.151 -> 0.067 ms for
+    # the 2-plane 324x576 -> 1080x1920 flow upsample, benchmarks/diag_resize).
+    # Identical arithmetic, so the values are bit-equal to the direct form.
+    vt = jnp.swapaxes(v, -1, -2)
+    cols0 = jnp.swapaxes(jnp.take(vt, x0, axis=-2), -1, -2)
+    cols1 = jnp.swapaxes(jnp.take(vt, x1, axis=-2), -1, -2)
     wxj = jnp.asarray(wx)
     return cols0 * (1 - wxj) + cols1 * wxj
 
 
 # ------------------------------------------------------------------ poly expansion
 
-def poly_exp(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+def poly_exp(img: jnp.ndarray, n: int, sigma: float,
+             use_pallas: bool = False) -> jnp.ndarray:
     """Quadratic polynomial expansion -> (5, H, W) coefficient planes.
 
     Channels (validated vs cv2): [y-linear, x-linear, y², x², xy] scaled by the
     inverse-Gram entries (ig11/ig03/ig33/ig55) exactly as OpenCV computes them.
+
+    ``use_pallas`` routes large images through the fused strip kernel
+    (:func:`ops.flow_pallas.poly_exp_pallas`) — planes agree to ~1 ulp (FMA
+    formation; see the kernel docstring), one HBM read of the image instead
+    of round-tripping the three intermediate row planes.
     """
+    if use_pallas and img.shape[-2] * img.shape[-1] >= 256 * 256:
+        from datmo_using_optical_flow_tpu.ops import flow_pallas
+
+        return flow_pallas.poly_exp_pallas(img, n, sigma)
     g, xg, xxg, invG = prepare_gaussian(n, sigma)
     ig11, ig03, ig33, ig55 = (np.float32(invG[1, 1]), np.float32(invG[0, 3]),
                               np.float32(invG[3, 3]), np.float32(invG[5, 5]))
@@ -347,7 +362,8 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.n
 
 # ------------------------------------------------------------------ pyramid driver
 
-def build_pyramid(im, pyr_scale, levels, poly_n, poly_sigma):
+def build_pyramid(im, pyr_scale, levels, poly_n, poly_sigma,
+                  use_pallas: bool = False):
     """Per-level polynomial-expansion planes for one frame.
 
     Returns a tuple of (5, lh, lw) coefficient arrays, coarsest-first (the
@@ -364,7 +380,7 @@ def build_pyramid(im, pyr_scale, levels, poly_n, poly_sigma):
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
         f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
         f = resize_bilinear(f, lh, lw)
-        out.append(poly_exp(f, poly_n, poly_sigma))
+        out.append(poly_exp(f, poly_n, poly_sigma, use_pallas))
     return tuple(out)
 
 
@@ -395,8 +411,8 @@ def flow_from_pyramids(pyr1, pyr2, pyr_scale, winsize, iterations,
 def _farneback_impl(im1, im2, pyr_scale, levels, winsize, iterations, poly_n,
                     poly_sigma, use_pallas, fast_warp=False, gaussian=False,
                     flow0=None):
-    pyr1 = build_pyramid(im1, pyr_scale, levels, poly_n, poly_sigma)
-    pyr2 = build_pyramid(im2, pyr_scale, levels, poly_n, poly_sigma)
+    pyr1 = build_pyramid(im1, pyr_scale, levels, poly_n, poly_sigma, use_pallas)
+    pyr2 = build_pyramid(im2, pyr_scale, levels, poly_n, poly_sigma, use_pallas)
     return flow_from_pyramids(pyr1, pyr2, pyr_scale, winsize, iterations,
                               use_pallas, fast_warp, gaussian, flow0)
 

@@ -123,6 +123,116 @@ def box_blur_solve(M: jnp.ndarray, winsize: int) -> tuple[jnp.ndarray, jnp.ndarr
     return blur_solve(M, winsize, gaussian=False)
 
 
+# ------------------------------------------------------------ poly expansion
+
+def _poly_exp_kernel(img_hbm, out_ref, scratch, vscratch, sem, *,
+                     g: tuple[float, ...], xg: tuple[float, ...],
+                     xxg: tuple[float, ...], igs: tuple[float, float, float, float],
+                     tile_h: int, window_h: int):
+    """One row tile of FarnebackPolyExp: image window -> 5 coefficient planes.
+
+    Same taps, f32 casts, and ascending accumulation order (with the same
+    skip-zero rules) as :func:`ops.farneback.poly_exp`; values agree up to
+    FMA formation (the compiler fuses mul+add differently around the scratch
+    stores — observed max ~5e-6 on the parity scenes, i.e. ~1 ulp at plane
+    scale; same class of reassociation as :func:`blur_solve`).  The image is
+    read once per tile and the three intermediate row planes never leave
+    VMEM — the XLA path materializes them to HBM between the separable
+    passes (~24 MB of round-trip traffic at 1080p).
+    """
+    t = pl.program_id(0)
+    w_out = out_ref.shape[2]
+    n2 = len(g)  # 2n + 1 taps
+    ig11, ig03, ig33, ig55 = igs
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(t * tile_h, window_h), :], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    # vertical pass (matches farneback.poly_exp: ascending i; xg skips its
+    # zero center tap, xxg keeps it — the jnp path adds the 0-weight term)
+    xg_first = next(i for i in range(n2) if xg[i] != 0.0)
+    for i in range(n2):
+        sl = scratch[i:i + tile_h, :]
+        tg = np.float32(g[i]) * sl
+        vscratch[0] = tg if i == 0 else vscratch[0] + tg
+        if xg[i] != 0.0:
+            txg = np.float32(xg[i]) * sl
+            vscratch[1] = txg if i == xg_first else vscratch[1] + txg
+        t2 = np.float32(xxg[i]) * sl
+        vscratch[2] = t2 if i == 0 else vscratch[2] + t2
+
+    # horizontal pass (matches _corr_axis: ascending taps, zero taps skipped)
+    def corr(plane, taps):
+        out = None
+        for j in range(n2):
+            if taps[j] == 0.0:
+                continue
+            term = np.float32(taps[j]) * plane[:, j:j + w_out]
+            out = term if out is None else out + term
+        return out
+
+    row_g, row_xg, row_xxg = vscratch[0], vscratch[1], vscratch[2]
+    b1 = corr(row_g, g)
+    b2 = corr(row_g, xg)
+    b3 = corr(row_xg, g)
+    b4 = corr(row_g, xxg)
+    b5 = corr(row_xxg, g)
+    b6 = corr(row_xg, xg)
+
+    out_ref[0] = b3 * np.float32(ig11)                          # y-linear
+    out_ref[1] = b2 * np.float32(ig11)                          # x-linear
+    out_ref[2] = b1 * np.float32(ig03) + b5 * np.float32(ig33)  # y^2
+    out_ref[3] = b1 * np.float32(ig03) + b4 * np.float32(ig33)  # x^2
+    out_ref[4] = b6 * np.float32(ig55)                          # xy
+
+
+def poly_exp_pallas(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """Fused polynomial expansion -> (5, H, W); see :func:`_poly_exp_kernel`.
+
+    Edge padding note: the jnp path pads the raw image vertically and the
+    computed row planes horizontally; the vertical correlation is
+    column-independent and linear, so padding the raw image on BOTH axes here
+    yields bit-identical planes.
+    """
+    from datmo_using_optical_flow_tpu.oracle.np_farneback import prepare_gaussian
+
+    h, w = img.shape
+    g, xg, xxg, invG = prepare_gaussian(n, sigma)
+    igs = (float(invG[1, 1]), float(invG[0, 3]),
+           float(invG[3, 3]), float(invG[5, 5]))
+    tile_h = 16 if h >= 16 else 8
+    pad_h = (-h) % tile_h
+    window_h = -(-(tile_h + 2 * n) // 8) * 8
+    wp = -(-(w + 2 * n) // 128) * 128
+    extra_h = window_h - (tile_h + 2 * n)
+    imgp = jnp.pad(img.astype(jnp.float32),
+                   ((n, n + pad_h + extra_h), (n, wp - w - n)), mode="edge")
+    n_tiles = (h + pad_h) // tile_h
+
+    kernel = partial(_poly_exp_kernel,
+                     g=tuple(float(v) for v in g),
+                     xg=tuple(float(v) for v in xg),
+                     xxg=tuple(float(v) for v in xxg),
+                     igs=igs, tile_h=tile_h, window_h=window_h)
+    out = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",  # tests run on the CPU mesh
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((5, tile_h, w), lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, h + pad_h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((window_h, wp), jnp.float32),
+            pltpu.VMEM((3, tile_h, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(imgp)
+    return out[:, :h]
+
+
 # ------------------------------------------------------------ fused iteration
 #
 # One kernel per refinement iteration: warp + matrix assembly + window

@@ -206,3 +206,43 @@ def test_farneback_pallas_gaussian_matches_cv2():
     theirs = cv2.calcOpticalFlowFarneback(img1, img2, None, 0.3, 5, 15, 5, 5, 5, 256)
     epe = np.linalg.norm(np.asarray(ours) - theirs, axis=-1)
     assert epe.max() < 0.02, epe.max()
+
+
+def test_poly_exp_pallas_matches_jnp_path():
+    """poly_exp_pallas: same taps/casts/order as the jnp path; values agree up
+    to FMA formation (~1 ulp at plane scale — see _poly_exp_kernel)."""
+    rng = np.random.default_rng(7)
+    for h, w in ((64, 200), (37, 131), (270, 480)):
+        img = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 50 + 100)
+        a = fb.poly_exp(img, 5, 5.0)
+        from datmo_using_optical_flow_tpu.ops.flow_pallas import poly_exp_pallas
+        c = poly_exp_pallas(img, 5, 5.0)
+        scale = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - c))) <= 2e-6 * scale
+        if h * w >= 256 * 256:
+            b = fb.poly_exp(img, 5, 5.0, use_pallas=True)
+            assert float(jnp.max(jnp.abs(c - b))) == 0.0
+
+
+def test_resize_bilinear_transposed_columns_bit_exact():
+    """The transpose-based column pass is the same arithmetic as the direct
+    lane-gather form; pin bit-equality on a batched and an odd shape."""
+    rng = np.random.default_rng(8)
+    for shp, (oh, ow) in (((2, 324, 576), (1080, 1920)), ((5, 33), (12, 10))):
+        img = jnp.asarray(rng.normal(size=shp).astype(np.float32))
+        out = fb.resize_bilinear(img, oh, ow)
+        h, w = shp[-2], shp[-1]
+        sy, sx = h / oh, w / ow
+        fy = (np.arange(oh) + 0.5) * sy - 0.5
+        fx = (np.arange(ow) + 0.5) * sx - 0.5
+        y0 = np.clip(np.floor(fy).astype(np.int32), 0, max(h - 2, 0))
+        x0 = np.clip(np.floor(fx).astype(np.int32), 0, max(w - 2, 0))
+        wy = np.clip(fy - y0, 0, 1).astype(np.float32)
+        wx = np.clip(fx - x0, 0, 1).astype(np.float32)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        v = jnp.take(img, y0, axis=-2) * (1 - wy[:, None]) \
+            + jnp.take(img, y1, axis=-2) * wy[:, None]
+        ref = jnp.take(v, x0, axis=-1) * (1 - wx) \
+            + jnp.take(v, x1, axis=-1) * wx
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0
