@@ -120,7 +120,9 @@ def poly_exp(img: jnp.ndarray, n: int, sigma: float,
     formation; see the kernel docstring), one HBM read of the image instead
     of round-tripping the three intermediate row planes.
     """
-    if use_pallas and img.shape[-2] * img.shape[-1] >= 256 * 256:
+    # the strip kernel is strictly 2-D (it unpacks h, w = img.shape); batched
+    # callers keep the jnp path rather than tracing a crash / slicing a batch
+    if use_pallas and img.ndim == 2 and img.shape[-2] * img.shape[-1] >= 256 * 256:
         from datmo_using_optical_flow_tpu.ops import flow_pallas
 
         return flow_pallas.poly_exp_pallas(img, n, sigma)

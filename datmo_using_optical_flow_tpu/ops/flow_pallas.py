@@ -167,7 +167,10 @@ def _poly_exp_kernel(img_hbm, out_ref, scratch, vscratch, sem, *,
     def corr(plane, taps):
         out = None
         for j in range(n2):
-            if taps[j] == 0.0:
+            # skip rule matches _corr_axis bit-for-bit: it casts taps to f32
+            # BEFORE comparing, so a tap that rounds to f32 zero is skipped
+            # by both paths (signed-zero-level parity; ADVICE r4)
+            if np.float32(taps[j]) == np.float32(0.0):
                 continue
             term = np.float32(taps[j]) * plane[:, j:j + w_out]
             out = term if out is None else out + term

@@ -236,7 +236,7 @@ def registration_icp(source: jnp.ndarray, source_mask: jnp.ndarray,
                      search_cap: float | None = None,
                      tgt_index=None, src_order=None,
                      sweep: str = "compact",
-                     active_cap: int | None = 32768) -> IcpResult:
+                     active_cap=(16384, 32768)) -> IcpResult:
     """ICP with identity init (the reference always passes I, GMFA.py:302).
 
     ``cached`` (default: on for targets >= 32k points) enables incremental

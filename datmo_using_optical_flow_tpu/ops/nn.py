@@ -132,7 +132,7 @@ def nearest_neighbors_scan(src: jnp.ndarray, tgt: jnp.ndarray,
 
 def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
                              tgt_mask: jnp.ndarray, active: jnp.ndarray,
-                             index=None, cap2=None, active_cap: int | None = None
+                             index=None, cap2=None, active_cap=None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray, jnp.ndarray]:
     """1-NN for only the ``active`` subset of source rows; cost scales with
@@ -194,38 +194,107 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     if index is None:
         index = nn_pallas.build_target_index(tgt, tgt_mask)
     act32 = active.astype(jnp.int32)
+    n_active = jnp.sum(act32)
+    caps = (active_cap,) if isinstance(active_cap, int) else active_cap
+    caps = tuple(c for c in (caps or ())
+                 if c < n and c % nn_pallas._SRC_BLOCK == 0)
+    if caps:
+        def _make_small(capb):
+            # Gather/scatter form of the partition (r5): instead of
+            # stable-partitioning the FULL cloud (cumsum + n-row scatter) and
+            # un-permuting with an n-row gather, find the active rows' indices
+            # with one top_k over sign-flipped iota keys (ascending == stable,
+            # so the gathered prefix keeps the caller's Morton coherence),
+            # gather only the ``capb`` prefix, sweep it, and scatter the
+            # results back to exactly the active rows.  Every per-iteration
+            # O(n) memory op this removes was partition cost (r4
+            # diag_icp_body: 1.29 ms/iteration at reference load); what
+            # remains is O(capb).
+            def _small(_):
+                iota = jnp.arange(n, dtype=jnp.int32)
+                sentinel = jnp.int32(-(2 ** 31) + 1)
+                keys = jnp.where(active, -iota, sentinel)
+                vals, _ = jax.lax.top_k(keys, capb)  # desc -idx == asc idx
+                okay = vals > sentinel               # j < n_active
+                rows = jnp.where(okay, -vals, 0)
+                pre = srcf[rows]                     # (capb, 3) active prefix
+                tbl = nn_pallas.build_block_table(pre, index, capb)
+                i_, d_, l_, b_, c_ = nn_pallas.nearest_neighbors_pallas(
+                    pre, index, n_active, cap2, block_table=tbl, dyn_grid=True)
+                # one packed 28-byte-row scatter back to the active rows: f32
+                # results bitcast to int32 ride with the winner index;
+                # non-active garbage rows (okay False) are dropped via an
+                # out-of-bounds destination.  The output starts as the
+                # inactive constants (idx 0 / +inf / +inf / 0 / zero coords),
+                # so no O(n) masking wheres are needed afterwards.  The
+                # exact-d2 recompute happens AFTER the scatter, at full width
+                # — the bit-identical expression shape of the uncapped path
+                # (a (capb, 3) recompute lowers with different FMA
+                # contraction and drifts 1 ulp).
+                fpack = jnp.concatenate(
+                    [d_[:, None], l_[:, None], b_[:, None], c_], axis=1)
+                packed = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(fpack, jnp.int32),
+                     i_[:, None]], axis=1)
+                inact = jnp.concatenate([
+                    jax.lax.bitcast_convert_type(
+                        jnp.array([jnp.inf, jnp.inf, 0.0, 0.0, 0.0, 0.0],
+                                  jnp.float32), jnp.int32),
+                    jnp.zeros((1,), jnp.int32)])
+                # NOTE: dest is NOT unique (every dropped row maps to n), so
+                # no unique_indices hint — "drop" handles the OOB rows
+                dest = jnp.where(okay, rows, n)
+                return jnp.broadcast_to(inact, (n, 7)).at[dest].set(
+                    packed, mode="drop")
+
+            return _small
+
+        def _full(_):
+            return _active_partition_full(srcf, active, act32, n_active, index,
+                                          cap2, n)
+
+        # tiered caps (ascending): the smallest tier that fits the active
+        # count runs — ICP's steady state (~13-14k actives at reference load)
+        # lands in the 16384 tier, halving the per-iteration table build and
+        # gather/scatter sizes vs a single 32768 cap; prefix blocks, counts,
+        # and pruning bounds are unchanged, so results stay bit-identical
+        branch = _full
+        for capb in sorted(caps, reverse=True):
+            branch = (lambda nxt, small, cb: lambda op: jax.lax.cond(
+                n_active <= cb, small, nxt, op))(branch, _make_small(capb), capb)
+        out = branch(0)
+    else:
+        out = _active_partition_full(srcf, active, act32, n_active, index,
+                                     cap2, n)
+    fpart = jax.lax.bitcast_convert_type(out[:, :6], jnp.float32)
+    idx = out[:, 6]
+    d2, lo, b2, crd = fpart[:, 0], fpart[:, 1], fpart[:, 2], fpart[:, 3:6]
+    # exact d2 at the winner by direct subtraction of the kernel-returned
+    # winner coords, at FULL width on both branches (bit-identical lowering):
+    # inactive rows carry d2 = +inf so the where keeps their constants
+    diff = srcf - crd
+    exact = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
+    lo = jnp.minimum(lo, d2)
+    return idx, d2, lo, b2, crd
+
+
+def _active_partition_full(srcf, active, act32, n_active, index, cap2, n):
+    """Full-width active sweep via a cumsum stable partition (the pre-r5 form;
+    the fallback when the active count exceeds ``active_cap``).  Returns the
+    packed (n, 7) int32 result rows (6 bitcast f32 values + winner index),
+    with inactive rows already holding the inactive constants."""
+    from datmo_using_optical_flow_tpu.ops import nn_pallas
+
     csum = jnp.cumsum(act32)
-    n_active = csum[-1]
     ar = jnp.arange(n, dtype=jnp.int32)
     # stable-partition destination: actives keep their relative (Morton)
     # order at the front, inactives theirs at the back
     pos = jnp.where(active, csum - 1, n_active + (ar - csum))
     src_c = jnp.zeros((n, 3), jnp.float32).at[pos].set(srcf,
                                                        unique_indices=True)
-    if (active_cap is not None and active_cap < n
-            and active_cap % nn_pallas._SRC_BLOCK == 0):
-        capb = active_cap
-        tail = n - capb
-
-        def _small(sc):
-            pre = sc[:capb]
-            tbl = nn_pallas.build_block_table(pre, index, capb)
-            i_, d_, l_, b_, c_ = nn_pallas.nearest_neighbors_pallas(
-                pre, index, n_active, cap2, block_table=tbl, dyn_grid=True)
-            # rows >= n_active <= capb are garbage either way; pad shape only
-            return (jnp.pad(i_, (0, tail)), jnp.pad(d_, (0, tail)),
-                    jnp.pad(l_, (0, tail)), jnp.pad(b_, (0, tail)),
-                    jnp.pad(c_, ((0, tail), (0, 0))))
-
-        def _full(sc):
-            return nn_pallas.nearest_neighbors_pallas(sc, index, n_active,
-                                                      cap2, dyn_grid=True)
-
-        idx_s, d2_s, lo_s, b2_s, crd_s = jax.lax.cond(
-            n_active <= capb, _small, _full, src_c)
-    else:
-        idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
-            src_c, index, n_active, cap2, dyn_grid=True)
+    idx_s, d2_s, lo_s, b2_s, crd_s = nn_pallas.nearest_neighbors_pallas(
+        src_c, index, n_active, cap2, dyn_grid=True)
     # un-permute with ONE gather (pos IS the inverse permutation): the six f32
     # results are bitcast to int32 and packed with the winner index into one
     # (n, 7) int32 row — 28 bytes, inside the ~constant-cost-per-index row
@@ -242,14 +311,17 @@ def nearest_neighbors_active(src: jnp.ndarray, tgt: jnp.ndarray,
     fpart = jax.lax.bitcast_convert_type(packed[:, :6], jnp.float32)
     idx = packed[:, 6]
     d2, lo, b2, crd = fpart[:, 0], fpart[:, 1], fpart[:, 2], fpart[:, 3:6]
-    diff = srcf - crd
-    exact = jnp.sum(diff * diff, axis=1)
-    d2 = jnp.where(jnp.isfinite(d2), exact, d2)
-    lo = jnp.minimum(lo, d2)
-    return (jnp.where(active, idx, 0), jnp.where(active, d2, jnp.inf),
-            jnp.where(active, lo, jnp.inf),
-            jnp.where(active, b2, 0.0),
-            jnp.where(active[:, None], crd, 0.0))
+    # the exact-d2-at-winner recompute happens in the CALLER (full width on
+    # both branches, identical lowering); here only mask the inactive rows to
+    # their constants
+    idx = jnp.where(active, idx, 0)
+    d2 = jnp.where(active, d2, jnp.inf)
+    lo = jnp.where(active, lo, jnp.inf)
+    b2 = jnp.where(active, b2, 0.0)
+    crd = jnp.where(active[:, None], crd, 0.0)
+    fout = jnp.concatenate([d2[:, None], lo[:, None], b2[:, None], crd], axis=1)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(fout, jnp.int32), idx[:, None]], axis=1)
 
 
 def nearest_neighbors_active_inplace(src: jnp.ndarray, tgt: jnp.ndarray,

@@ -32,15 +32,21 @@ def _halo_stack(planes: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray
 
 
 def sharded_poly_exp(img_block: jnp.ndarray, n: int, sigma: float,
-                     axis_name: str) -> jnp.ndarray:
-    """Row-sharded polynomial expansion -> (5, H_local, W) coefficient blocks."""
+                     axis_name: str, use_pallas: bool = False) -> jnp.ndarray:
+    """Row-sharded polynomial expansion -> (5, H_local, W) coefficient blocks.
+
+    ``use_pallas`` routes the extended block through the fused strip kernel
+    (per-row-tile; the n-row halo rows make the block self-contained, so the
+    kernel's edge padding only ever touches true halo data) — the same
+    single-chip/multichip parity the unsharded path has (ADVICE r4).
+    """
     from datmo_using_optical_flow_tpu.ops.farneback import poly_exp
 
     hl = img_block.shape[0]
     ext = halo_exchange_rows(img_block, n, axis_name)
     # the unsharded poly_exp edge-pads again; its interior rows are supported
     # entirely by true halo rows
-    return poly_exp(ext, n, sigma)[:, n:n + hl, :]
+    return poly_exp(ext, n, sigma, use_pallas=use_pallas)[:, n:n + hl, :]
 
 
 def _border_scale_rows(ys_global: jnp.ndarray, h_global: int) -> jnp.ndarray:
@@ -133,7 +139,8 @@ def sharded_farneback_flow(img1_block: jnp.ndarray, img2_block: jnp.ndarray,
                            axis_name: str, pyr_scale: float = 0.3, levels: int = 5,
                            winsize: int = 15, iterations: int = 5, poly_n: int = 5,
                            poly_sigma: float = 5.0, warp_halo: int = 16,
-                           fast_warp: bool = False) -> jnp.ndarray:
+                           fast_warp: bool = False,
+                           use_pallas: bool = False) -> jnp.ndarray:
     """Full pyramidal Farnebäck flow on row-sharded images.
 
     Level scheduling: the downsampled levels cost ~``pyr_scale²`` of level 0
@@ -179,7 +186,7 @@ def sharded_farneback_flow(img1_block: jnp.ndarray, img2_block: jnp.ndarray,
             for im in (im1_full, im2_full):
                 f = gaussian_blur(im.astype(jnp.float32), smooth_sz, sigma)
                 f = resize_bilinear(f, lh, lw)
-                Rs.append(poly_exp(f, poly_n, poly_sigma))
+                Rs.append(poly_exp(f, poly_n, poly_sigma, use_pallas=use_pallas))
             dxc, dyc = farneback_level(Rs[0], Rs[1], dxc, dyc, winsize, iterations,
                                        fast_warp=fast_warp)
         # upsample to full res and take this device's rows
@@ -203,8 +210,8 @@ def sharded_farneback_flow(img1_block: jnp.ndarray, img2_block: jnp.ndarray,
     ext = halo_exchange_rows(img2_block.astype(jnp.float32), 1, axis_name,
                              edge_mode="reflect101")
     f2 = _corr_axis(_corr_axis(ext, k3, -2, "reflect")[1:1 + hl], k3, -1, "reflect")
-    R0 = sharded_poly_exp(f1, poly_n, poly_sigma, axis_name)
-    R1 = sharded_poly_exp(f2, poly_n, poly_sigma, axis_name)
+    R0 = sharded_poly_exp(f1, poly_n, poly_sigma, axis_name, use_pallas=use_pallas)
+    R1 = sharded_poly_exp(f2, poly_n, poly_sigma, axis_name, use_pallas=use_pallas)
     dx, dy = sharded_farneback_level(R0, R1, dx, dy, winsize, iterations, axis_name,
                                      h_global, warp_halo)
     return jnp.stack([dx, dy], axis=-1)
