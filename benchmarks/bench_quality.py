@@ -1,0 +1,295 @@
+"""Adversarial detection-quality benchmark (VERDICT r4 missing #2).
+
+The reference names its quality surface — "velocity estimation accuracy,
+detection precision, recall" (``/root/reference/README.md:8``) — but ships no
+numbers and no evaluation code, and the r1-r4 stand-in (`examples/evaluate.py`)
+used well-separated constant-velocity boxes that saturate P/R at 1.0.  This
+benchmark runs BOTH pipelines over >= 50-frame synthetic clips designed to
+make them fail in measurable ways:
+
+* ``crossing_clutter``: two targets whose paths CROSS mid-clip (association
+  stress) + transient clutter blobs every frame (false-positive bait for the
+  residual classifiers);
+* ``occlusion``: a target passes BEHIND a static obstacle under the LiDAR
+  cylinder-shadow model (missed detections, track death/rebirth);
+* ``accel_turn``: constant-acceleration (curving) targets against the
+  constant-velocity motion models;
+* ``noise_hi`` / ``sparse``: sensor-noise x8 and ~1/4-density sweeps of the
+  easy scene;
+* ``easy``: the r1-style sanity scene (expected to stay ~saturated).
+
+Reported per scene and pipeline: detection precision/recall (greedy 3 m gate
+per frame), matched-track velocity MAE vs ground truth, and — for pipeline A —
+artifact agreement vs the CPU oracle loop (cv2 Farnebäck + sklearn DBSCAN +
+numpy EKF replayed on the run's own saved BEVs; velocity grids toleranced,
+DBSCAN label partitions exact-compared).  Output: one JSON document
+(`BENCH_QUALITY_r05.json` when run by ``run_chip_suite.sh``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_FRAMES = 52
+GATE_M = 3.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def scenes():
+    from datmo_using_optical_flow_tpu.sim.synthetic import BoxTarget, SyntheticScene
+
+    easy = dict(
+        ground_points=4000, ground_extent=20.0, seed=101,
+        targets=(BoxTarget(center0=(6.0, -6.0, 0.75), velocity=(0.25, 0.25),
+                           points_per_frame=600),),
+    )
+    yield "easy", SyntheticScene(**easy)
+
+    yield "crossing_clutter", SyntheticScene(
+        ground_points=4000, ground_extent=20.0, seed=102,
+        static_boxes=(BoxTarget(center0=(-8.0, 8.0, 1.0), velocity=(0, 0),
+                                points_per_frame=800),),
+        targets=(
+            # cross near the origin around frame ~25
+            BoxTarget(center0=(-8.0, -8.0, 0.75), velocity=(0.32, 0.32),
+                      points_per_frame=600),
+            BoxTarget(center0=(8.0, -8.0, 0.75), velocity=(-0.32, 0.32),
+                      size=(3.0, 1.6, 1.4), points_per_frame=600),
+        ),
+        clutter_blobs=5, clutter_points=40,
+    )
+
+    yield "occlusion", SyntheticScene(
+        ground_points=4000, ground_extent=20.0, seed=103, occlusion=True,
+        static_boxes=(BoxTarget(center0=(5.0, 5.0, 1.25),
+                                size=(5.0, 3.0, 2.5), velocity=(0, 0),
+                                points_per_frame=1200),),
+        targets=(
+            # passes behind the (5, 5) box as seen from the origin sensor
+            BoxTarget(center0=(12.0, 2.0, 0.75), velocity=(-0.1, 0.4),
+                      points_per_frame=600),
+        ),
+    )
+
+    yield "accel_turn", SyntheticScene(
+        ground_points=4000, ground_extent=20.0, seed=104,
+        targets=(
+            BoxTarget(center0=(-8.0, -4.0, 0.75), velocity=(0.6, 0.0),
+                      accel=(-0.02, 0.018), points_per_frame=600),
+            BoxTarget(center0=(6.0, 6.0, 0.75), velocity=(-0.15, -0.4),
+                      accel=(0.012, 0.012), size=(3.0, 1.6, 1.4),
+                      points_per_frame=600),
+        ),
+    )
+
+    hi = dict(easy)
+    hi.update(seed=105, sensor_noise=0.08)
+    yield "noise_hi", SyntheticScene(**hi)
+
+    sparse = dict(easy)
+    sparse.update(
+        seed=106, ground_points=1200,
+        targets=(BoxTarget(center0=(6.0, -6.0, 0.75), velocity=(0.25, 0.25),
+                           points_per_frame=150),))
+    yield "sparse", SyntheticScene(**sparse)
+
+
+def greedy_match(det: np.ndarray, gt: np.ndarray, gate: float):
+    """Greedy nearest matching (the utils.metrics.detection_pr rule), returning
+    (pairs, tp, fp, fn) where pairs is a list of (det_row, gt_row) indices."""
+    det = np.atleast_2d(det).reshape(-1, 2)
+    gt = np.atleast_2d(gt).reshape(-1, 2)
+    matched: set[int] = set()
+    pairs = []
+    for ti, t in enumerate(gt):
+        if det.shape[0] == 0:
+            break
+        d = np.linalg.norm(det - t, axis=1)
+        d[list(matched)] = np.inf
+        j = int(np.argmin(d))
+        if d[j] <= gate:
+            matched.add(j)
+            pairs.append((j, ti))
+    tp = len(pairs)
+    return pairs, tp, det.shape[0] - tp, gt.shape[0] - tp
+
+
+class PRAccum:
+    def __init__(self):
+        self.tp = self.fp = self.fn = 0
+        self.vel_err: list[float] = []
+
+    def add(self, det_pos, det_vel, gt_pos, gt_vel, gate=GATE_M):
+        pairs, tp, fp, fn = greedy_match(det_pos, gt_pos, gate)
+        self.tp += tp
+        self.fp += fp
+        self.fn += fn
+        for dj, ti in pairs:
+            if det_vel is not None:
+                self.vel_err.append(float(np.linalg.norm(
+                    np.asarray(det_vel)[dj] - np.asarray(gt_vel)[ti])))
+
+    def report(self) -> dict:
+        prec = self.tp / max(self.tp + self.fp, 1)
+        rec = self.tp / max(self.tp + self.fn, 1)
+        return {
+            "precision": round(prec, 4), "recall": round(rec, 4),
+            "tp": self.tp, "fp": self.fp, "fn": self.fn,
+            "velocity_mae_mps": (round(float(np.mean(self.vel_err)), 4)
+                                 if self.vel_err else None),
+        }
+
+
+def eval_gmfa(scene, paths, dt_scene: float) -> dict:
+    """GMFA (pipeline B): track rows vs ground truth.  GMFA positions are in
+    flipped-x meters; its velocities are per cfg.dt (0.1 s) while the scene
+    advances dt_scene per frame, so estimates scale by cfg.dt / dt_scene."""
+    import jax
+
+    from datmo_using_optical_flow_tpu.config import (CapacityConfig, DbscanConfig,
+                                                     GMFAConfig, IcpConfig)
+    from datmo_using_optical_flow_tpu.models.gmfa import GMFAPipeline
+    from datmo_using_optical_flow_tpu.sim.synthetic import ground_truth
+
+    cfg = GMFAConfig(
+        dbscan=DbscanConfig(eps=1.0, min_samples=150),
+        icp=IcpConfig(threshold=0.1),
+        capacities=CapacityConfig(max_raw_points=16384, max_roi_points=4096,
+                                  max_cells=4096, max_clusters=16, max_tracks=32))
+    pipe = GMFAPipeline(cfg, max_moving_points=16384)
+    t0 = time.perf_counter()
+    out = pipe.process_files(paths)
+    elapsed = time.perf_counter() - t0
+    by_frame: dict[int, list[dict]] = {}
+    for row in out["rows"]:
+        by_frame.setdefault(int(row["Frame"]), []).append(row)
+    acc = PRAccum()
+    warmup = 3  # tracker needs a couple frames of history
+    for f in range(warmup, N_FRAMES - 1):
+        rows = by_frame.get(f, [])
+        det_pos = np.array([[r["X"], r["Y"]] for r in rows]).reshape(-1, 2)
+        # velocities are finite differences of flipped positions over cfg.dt
+        det_vel = np.array([[r["VX"], r["VY"]] for r in rows]).reshape(-1, 2) \
+            * (cfg.dt / dt_scene)
+        gt_pos, gt_vel = ground_truth(scene, f + 1, dt_scene)
+        gt_pos = gt_pos * np.array([-1.0, 1.0])   # preprocess flips x
+        gt_vel = gt_vel * np.array([-1.0, 1.0])
+        acc.add(det_pos, det_vel, gt_pos, gt_vel)
+    rep = acc.report()
+    rep["frames"] = N_FRAMES
+    rep["fps"] = round((N_FRAMES - 1) / max(out["elapsed"], 1e-9), 2)
+    del jax  # imported for side effect ordering only
+    return rep
+
+
+def eval_pipeline_a(scene, paths, dt_scene: float, workdir: str) -> dict:
+    """Pipeline A: per-pair EKF track yamls vs ground truth + CPU-oracle
+    artifact agreement on the run's own BEVs (the test_scale_parity method)."""
+    import yaml
+
+    from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+    from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
+    from datmo_using_optical_flow_tpu.oracle import reference_a as ref
+    from datmo_using_optical_flow_tpu.sim.synthetic import ground_truth
+
+    cfg = PipelineAConfig(
+        capacities=CapacityConfig(max_raw_points=16384, max_roi_points=4096,
+                                  max_cells=4096, max_clusters=16, max_tracks=32))
+    out_dir = os.path.join(workdir, "a_artifacts")
+    pipe = PipelineA(cfg, fast_warp=False)
+    summary = pipe.process_files(paths, output_dir=out_dir, save_png=False, seed=0)
+
+    res_x = cfg.grid_resolution[0]
+    res_y = cfg.grid_resolution[1]
+    x0, y0 = cfg.x_range[0], cfg.y_range[0]
+    acc = PRAccum()
+    warmup = 3
+    for pair in range(warmup, N_FRAMES - 1):
+        p = os.path.join(out_dir, f"ekf_tracks_frame_{pair}.yaml")
+        tracks = yaml.safe_load(open(p)) if os.path.exists(p) else {}
+        det_pos, det_vel = [], []
+        for _tid, st in (tracks or {}).items():
+            # state [cx, cy] are BEV cell indices (row = x bin, col = y bin)
+            det_pos.append([x0 + st[0] * res_x, y0 + st[1] * res_y])
+            # the reference's velocity axes come from flow (dx = axis-1 = the
+            # y-bin direction, dy = axis-0 = x-bin), so world (vx, vy) is the
+            # SWAP of the state's (vx, vy) — a reference quirk kept as-is
+            det_vel.append([st[3], st[2]])
+        gt_pos, gt_vel = ground_truth(scene, pair + 1, dt_scene)
+        gt_pos = gt_pos * np.array([-1.0, 1.0])   # preprocess flips x
+        gt_vel = gt_vel * np.array([-1.0, 1.0])
+        acc.add(np.asarray(det_pos).reshape(-1, 2),
+                np.asarray(det_vel).reshape(-1, 2), gt_pos, gt_vel)
+    rep = acc.report()
+    rep["pairs"] = summary["pairs"]
+
+    # ---- oracle artifact agreement on the run's own BEVs ----
+    bevs = [np.load(os.path.join(out_dir, f"bev_frame_{i}.npy"))
+            for i in range(N_FRAMES)]
+    max_v = 0.0
+    labels_equal = 0
+    pairs_total = 0
+    for i in range(N_FRAMES - 1):
+        flow = ref.farneback_flow(bevs[i], bevs[i + 1])
+        vx, vy, _ = ref.velocity_from_flow(flow, cfg.x_range, cfg.y_range)
+        cont = ref.continuity_mask(vx, vy, cfg.masks.alpha_cont)
+        vx_f, vy_f = vx * cont, vy * cont
+        got_vx = np.load(os.path.join(out_dir, f"velocity_x_frame_{i}.npy"))
+        got_vy = np.load(os.path.join(out_dir, f"velocity_y_frame_{i}.npy"))
+        max_v = max(max_v, float(np.abs(got_vx - vx_f).max()),
+                    float(np.abs(got_vy - vy_f).max()))
+        mag = np.sqrt(vx_f ** 2 + vy_f ** 2)
+        valid = mag > cfg.velocity_threshold
+        labels, idx = ref.dbscan_clustering(vx_f, vy_f, valid, cfg.dbscan.eps,
+                                            cfg.dbscan.min_samples)
+        got_l = np.load(os.path.join(out_dir, f"dbscan_labels_frame_{i}.npy"))
+        got_i = np.load(os.path.join(out_dir, f"dbscan_indices_frame_{i}.npy"))
+        pairs_total += 1
+        if (got_l.shape == np.asarray(labels).shape
+                and np.array_equal(got_l, labels)
+                and np.array_equal(got_i, idx)):
+            labels_equal += 1
+    rep["oracle_agreement"] = {
+        "bev_source": "run's own uint8 BEV artifacts (device BEV parity is "
+                      "pinned exactly by tests/test_geometry.py)",
+        "velocity_grid_max_abs_diff_mps": round(max_v, 7),
+        "dbscan_label_partitions_equal": f"{labels_equal}/{pairs_total}",
+    }
+    return rep
+
+
+def main() -> None:
+    from datmo_using_optical_flow_tpu.sim.synthetic import write_synthetic_sequence
+
+    report: dict = {"n_frames": N_FRAMES, "gate_m": GATE_M, "scenes": {}}
+    dt_scene = 1.0
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, scene in scenes():
+            log(f"=== scene {name}")
+            seq_dir = os.path.join(tmp, name)
+            paths = write_synthetic_sequence(scene, seq_dir, N_FRAMES, dt=dt_scene)
+            entry: dict = {}
+            t0 = time.perf_counter()
+            entry["gmfa"] = eval_gmfa(scene, paths, dt_scene)
+            log(f"  gmfa: {entry['gmfa']}")
+            entry["optical_flow"] = eval_pipeline_a(scene, paths, dt_scene,
+                                                    seq_dir)
+            log(f"  optical_flow: {entry['optical_flow']}")
+            entry["wall_s"] = round(time.perf_counter() - t0, 1)
+            report["scenes"][name] = entry
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,44 @@ def main():
 
     timed("nearest_neighbors_active 13.5k scattered", run_active, src_m, active)
 
+    # --- end-to-end with the r5 tiered gather/scatter partition ---
+    @jax.jit
+    def run_active_capped(s, a):
+        acc = jnp.float32(0)
+        for _ in range(REPS):
+            _, d2, lo, b2, crd = nearest_neighbors_active(
+                s + acc * 1e-30, tgt, tmask, a, index=index, cap2=cap2,
+                active_cap=(16384, 32768))
+            acc = jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0)) * 1e-30
+        return acc
+
+    timed("nearest_neighbors_active 13.5k capped(16k,32k)", run_active_capped,
+          src_m, active)
+
+    # --- the partition pieces alone (top_k + gather + packed scatter) ---
+    @jax.jit
+    def run_partition(s, a):
+        acc = jnp.float32(0)
+        N_ = s.shape[0]
+        for _ in range(REPS):
+            iota = jnp.arange(N_, dtype=jnp.int32)
+            sentinel = jnp.int32(-(2 ** 31) + 1)
+            keys = jnp.where(a, -iota, sentinel) + (acc * 1e-30).astype(jnp.int32)
+            vals, _ = jax.lax.top_k(keys, 16384)
+            okay = vals > sentinel
+            rows = jnp.where(okay, -vals, 0)
+            pre = s[rows]
+            packed = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(pre, jnp.int32),
+                 rows[:, None]], axis=1)
+            dest = jnp.where(okay, rows, N_)
+            out = jnp.zeros((N_, 4), jnp.int32).at[dest].set(packed, mode="drop")
+            acc = jnp.sum(out[:, 3].astype(jnp.float32)) * 1e-30
+        return acc
+
+    timed("partition pieces (top_k16k + gather + scatter)", run_partition,
+          src_m, active)
+
     # --- build_block_table alone ---
     @jax.jit
     def run_table(s):
@@ -137,6 +175,35 @@ def main():
           src_c, table_c)
     timed("kernel only, prebuilt table, n_active=102400", mk_kernel(jnp.int32(N)),
           src_c, table_c)
+
+    # --- dyn-grid kernel + capped-prefix table at the r5 production shape ---
+    src_pre = src_c[:16384]
+    table_pre = jax.jit(
+        lambda s: nn_pallas.build_block_table(s, index, 16384))(src_pre)
+
+    @jax.jit
+    def run_dyn(s, tbl):
+        acc = jnp.float32(0)
+        for _ in range(REPS):
+            _, d2, lo, b2, crd = nn_pallas.nearest_neighbors_pallas(
+                s + acc * 1e-30, index, n_active=jnp.int32(13500), cap2=cap2,
+                block_table=tbl, dyn_grid=True)
+            acc = jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0)) * 1e-30
+        return acc
+
+    timed("kernel only DYN grid, 16k prefix table, n_active=13.5k", run_dyn,
+          src_pre, table_pre)
+
+    @jax.jit
+    def run_table16(s):
+        acc = jnp.float32(0)
+        for _ in range(REPS):
+            lb, torder = nn_pallas.build_block_table(s + acc * 1e-30, index, 16384)
+            acc = (jnp.sum(jnp.where(jnp.isfinite(lb), lb, 0.0))
+                   + jnp.sum(torder.astype(jnp.float32))) * 1e-30
+        return acc
+
+    timed("build_block_table 16384 prefix (64 x 400)", run_table16, src_pre)
 
 
 if __name__ == "__main__":
