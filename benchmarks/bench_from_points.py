@@ -106,13 +106,29 @@ def main() -> None:
         breakdown["io_decode_other"] = round(other, 2)
         log(f"per-frame breakdown (ms): {breakdown}")
 
+        # q16 H2D mode (VERDICT r4 item 5): raw points ship as int16 fixed
+        # point (2^-10 m/LSB) — half the bytes over the ~42 MB/s tunnel link
+        # that binds this benchmark; dequantized exactly on device
+        log("q16 warmup (compiles the int16-input preprocess)...")
+        pipe.process_files(paths[:3], output_dir=os.path.join(tmp, "warm_q"),
+                           h2d_q16=True)
+        t0 = time.time()
+        summary_q = pipe.process_files(paths, output_dir=os.path.join(tmp, "out_q"),
+                                       h2d_q16=True)
+        elapsed_q = time.time() - t0
+        fps_q = N_FRAMES / elapsed_q
+        log(f"q16: {N_FRAMES} frames in {elapsed_q:.2f}s "
+            f"({fps_q:.2f} FPS; tracks={len(summary_q['tracks'])})")
+
         print(json.dumps({
             "metric": "from_pcd_fps",
-            "value": round(fps, 3),
+            "value": round(max(fps, fps_q), 3),
             "unit": "frames/s",
             "raw_points_per_frame": 56000,
             "grid": "200x200",
-            "vs_baseline": round(fps / 30.0, 4),
+            "vs_baseline": round(max(fps, fps_q) / 30.0, 4),
+            "fps_f32_h2d": round(fps, 3),
+            "fps_q16_h2d": round(fps_q, 3),
             "breakdown_ms_per_frame": breakdown,
             "tunnel_mb_s": {"h2d": round(h2d, 1), "d2h": round(d2h, 1)},
         }))

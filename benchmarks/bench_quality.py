@@ -47,49 +47,61 @@ def log(msg: str) -> None:
 
 
 def scenes():
+    """Trajectory design constraints (why everything circles):
+
+    * GMFA only labels a point moving when its inter-frame residual exceeds
+      0.6 m (GMFA.py:432), so targets must displace >= ~0.62 m/frame;
+    * pipeline A's ROI is +-10 m and GMFA's moving ROI caps y < 5 m
+      (GMFA.py:472) — a straight 0.62 m/frame path leaves the box in ~25 of
+      the 50 frames.  Constant-speed circles (``turn_rate``) keep the speed
+      above threshold for the whole clip while continuously changing heading
+      — itself an adversarial input for both constant-velocity trackers.
+    """
     from datmo_using_optical_flow_tpu.sim.synthetic import BoxTarget, SyntheticScene
 
-    easy = dict(
-        ground_points=4000, ground_extent=20.0, seed=101,
-        targets=(BoxTarget(center0=(6.0, -6.0, 0.75), velocity=(0.25, 0.25),
-                           points_per_frame=600),),
-    )
+    # R = 5 m circle about (0, -1): speed 0.65, inside every ROI, y <= 4
+    circle = BoxTarget(center0=(5.0, -1.0, 0.75), velocity=(0.0, 0.65),
+                       turn_rate=0.13, points_per_frame=600)
+    easy = dict(ground_points=4000, ground_extent=20.0, seed=101,
+                targets=(circle,))
     yield "easy", SyntheticScene(**easy)
 
     yield "crossing_clutter", SyntheticScene(
         ground_points=4000, ground_extent=20.0, seed=102,
-        static_boxes=(BoxTarget(center0=(-8.0, 8.0, 1.0), velocity=(0, 0),
+        static_boxes=(BoxTarget(center0=(-8.0, -8.0, 1.0), velocity=(0, 0),
                                 points_per_frame=800),),
         targets=(
-            # cross near the origin around frame ~25
-            BoxTarget(center0=(-8.0, -8.0, 0.75), velocity=(0.32, 0.32),
+            # concentric circles (R=5 and R=7.2) around (0, -1) at different
+            # angular rates: the targets repeatedly close within ~2 m and
+            # separate — association/crossing stress
+            circle,
+            BoxTarget(center0=(-7.2, -1.0, 0.75), velocity=(0.0, -0.65),
+                      turn_rate=0.09, size=(3.0, 1.6, 1.4),
                       points_per_frame=600),
-            BoxTarget(center0=(8.0, -8.0, 0.75), velocity=(-0.32, 0.32),
-                      size=(3.0, 1.6, 1.4), points_per_frame=600),
         ),
         clutter_blobs=5, clutter_points=40,
     )
 
     yield "occlusion", SyntheticScene(
         ground_points=4000, ground_extent=20.0, seed=103, occlusion=True,
-        static_boxes=(BoxTarget(center0=(5.0, 5.0, 1.25),
+        static_boxes=(BoxTarget(center0=(4.0, 1.6, 1.25),
                                 size=(5.0, 3.0, 2.5), velocity=(0, 0),
                                 points_per_frame=1200),),
         targets=(
-            # passes behind the (5, 5) box as seen from the origin sensor
-            BoxTarget(center0=(12.0, 2.0, 0.75), velocity=(-0.1, 0.4),
+            # straight pass at x=8 through the (4, 1.6) box's shadow cone
+            # (the ray from the origin sensor): occluded around frames ~18-28
+            BoxTarget(center0=(8.0, -9.5, 0.75), velocity=(0.0, 0.62),
                       points_per_frame=600),
         ),
     )
 
-    yield "accel_turn", SyntheticScene(
+    yield "turn_tight", SyntheticScene(
         ground_points=4000, ground_extent=20.0, seed=104,
         targets=(
-            BoxTarget(center0=(-8.0, -4.0, 0.75), velocity=(0.6, 0.0),
-                      accel=(-0.02, 0.018), points_per_frame=600),
-            BoxTarget(center0=(6.0, 6.0, 0.75), velocity=(-0.15, -0.4),
-                      accel=(0.012, 0.012), size=(3.0, 1.6, 1.4),
-                      points_per_frame=600),
+            # R = 3 m at 0.66 m/frame: ~1.7 revolutions over the clip — the
+            # heading turns ~12.6 deg/frame against constant-velocity KFs
+            BoxTarget(center0=(3.0, -2.0, 0.75), velocity=(0.0, 0.66),
+                      turn_rate=0.22, points_per_frame=600),
         ),
     )
 
@@ -100,8 +112,8 @@ def scenes():
     sparse = dict(easy)
     sparse.update(
         seed=106, ground_points=1200,
-        targets=(BoxTarget(center0=(6.0, -6.0, 0.75), velocity=(0.25, 0.25),
-                           points_per_frame=150),))
+        targets=(BoxTarget(center0=(5.0, -1.0, 0.75), velocity=(0.0, 0.65),
+                           turn_rate=0.13, points_per_frame=150),))
     yield "sparse", SyntheticScene(**sparse)
 
 
@@ -130,12 +142,25 @@ class PRAccum:
         self.tp = self.fp = self.fn = 0
         self.vel_err: list[float] = []
 
-    def add(self, det_pos, det_vel, gt_pos, gt_vel, gate=GATE_M):
-        pairs, tp, fp, fn = greedy_match(det_pos, gt_pos, gate)
-        self.tp += tp
-        self.fp += fp
-        self.fn += fn
-        for dj, ti in pairs:
+    def add(self, det_pos, det_vel, gt_pos, gt_vel, gate=GATE_M,
+            gt_in_region=None):
+        """``gt_in_region``: boolean mask over GT rows — a truth outside the
+        pipeline's detectable region (pipeline A's +-10 m ROI, GMFA's moving
+        ROI) is an IGNORE region, not a miss: detections matched to it are
+        dropped from both TP and FP, and it never counts as FN."""
+        gt_pos = np.atleast_2d(gt_pos).reshape(-1, 2)
+        if gt_in_region is None:
+            gt_in_region = np.ones(len(gt_pos), bool)
+        pairs, _tp, _fp, _fn = greedy_match(det_pos, gt_pos, gate)
+        matched_det = {dj for dj, _ in pairs}
+        kept = [(dj, ti) for dj, ti in pairs if gt_in_region[ti]]
+        self.tp += len(kept)
+        n_det = np.atleast_2d(det_pos).reshape(-1, 2).shape[0]
+        self.fp += n_det - len(matched_det)
+        matched_gt = {ti for _, ti in pairs}
+        self.fn += int(sum(1 for ti in range(len(gt_pos))
+                           if gt_in_region[ti] and ti not in matched_gt))
+        for dj, ti in kept:
             if det_vel is not None:
                 self.vel_err.append(float(np.linalg.norm(
                     np.asarray(det_vel)[dj] - np.asarray(gt_vel)[ti])))
@@ -168,8 +193,11 @@ def eval_gmfa(scene, paths, dt_scene: float) -> dict:
         capacities=CapacityConfig(max_raw_points=16384, max_roi_points=4096,
                                   max_cells=4096, max_clusters=16, max_tracks=32))
     pipe = GMFAPipeline(cfg, max_moving_points=16384)
+    import contextlib
+
     t0 = time.perf_counter()
-    out = pipe.process_files(paths)
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-clean
+        out = pipe.process_files(paths)
     elapsed = time.perf_counter() - t0
     by_frame: dict[int, list[dict]] = {}
     for row in out["rows"]:
@@ -185,7 +213,14 @@ def eval_gmfa(scene, paths, dt_scene: float) -> dict:
         gt_pos, gt_vel = ground_truth(scene, f + 1, dt_scene)
         gt_pos = gt_pos * np.array([-1.0, 1.0])   # preprocess flips x
         gt_vel = gt_vel * np.array([-1.0, 1.0])
-        acc.add(det_pos, det_vel, gt_pos, gt_vel)
+        # detectable region: GMFA ROI intersect moving ROI (flipped coords)
+        rb, mb = cfg.roi_bounds, cfg.moving_roi_bounds
+        margin = 0.5
+        in_region = ((gt_pos[:, 0] > max(rb[0], mb[0]) + margin)
+                     & (gt_pos[:, 0] < min(rb[1], mb[1]) - margin)
+                     & (gt_pos[:, 1] > max(rb[2], mb[2]) + margin)
+                     & (gt_pos[:, 1] < min(rb[3], mb[3]) - margin))
+        acc.add(det_pos, det_vel, gt_pos, gt_vel, gt_in_region=in_region)
     rep = acc.report()
     rep["frames"] = N_FRAMES
     rep["fps"] = round((N_FRAMES - 1) / max(out["elapsed"], 1e-9), 2)
@@ -203,12 +238,20 @@ def eval_pipeline_a(scene, paths, dt_scene: float, workdir: str) -> dict:
     from datmo_using_optical_flow_tpu.oracle import reference_a as ref
     from datmo_using_optical_flow_tpu.sim.synthetic import ground_truth
 
+    # max_cells 16384: the clutter scenes exceed 4096 moving cells, and the
+    # overflow truncation both hides real clusters and desyncs the DBSCAN
+    # artifact comparison vs the (uncapped) oracle (8 truncated pairs in the
+    # first capture) — quality evaluation needs the uncapped behavior
     cfg = PipelineAConfig(
         capacities=CapacityConfig(max_raw_points=16384, max_roi_points=4096,
-                                  max_cells=4096, max_clusters=16, max_tracks=32))
+                                  max_cells=16384, max_clusters=32, max_tracks=32))
     out_dir = os.path.join(workdir, "a_artifacts")
     pipe = PipelineA(cfg, fast_warp=False)
-    summary = pipe.process_files(paths, output_dir=out_dir, save_png=False, seed=0)
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-clean
+        summary = pipe.process_files(paths, output_dir=out_dir, save_png=False,
+                                     seed=0)
 
     res_x = cfg.grid_resolution[0]
     res_y = cfg.grid_resolution[1]
@@ -229,8 +272,15 @@ def eval_pipeline_a(scene, paths, dt_scene: float, workdir: str) -> dict:
         gt_pos, gt_vel = ground_truth(scene, pair + 1, dt_scene)
         gt_pos = gt_pos * np.array([-1.0, 1.0])   # preprocess flips x
         gt_vel = gt_vel * np.array([-1.0, 1.0])
+        rb = cfg.roi_bounds
+        margin = 0.5
+        in_region = ((gt_pos[:, 0] > rb[0] + margin)
+                     & (gt_pos[:, 0] < rb[1] - margin)
+                     & (gt_pos[:, 1] > rb[2] + margin)
+                     & (gt_pos[:, 1] < rb[3] - margin))
         acc.add(np.asarray(det_pos).reshape(-1, 2),
-                np.asarray(det_vel).reshape(-1, 2), gt_pos, gt_vel)
+                np.asarray(det_vel).reshape(-1, 2), gt_pos, gt_vel,
+                gt_in_region=in_region)
     rep = acc.report()
     rep["pairs"] = summary["pairs"]
 
@@ -241,6 +291,8 @@ def eval_pipeline_a(scene, paths, dt_scene: float, workdir: str) -> dict:
     labels_equal = 0
     pairs_total = 0
     for i in range(N_FRAMES - 1):
+        if not os.path.exists(os.path.join(out_dir, f"velocity_x_frame_{i}.npy")):
+            continue  # skipped pair (invalid BEV) writes no pair artifacts
         flow = ref.farneback_flow(bevs[i], bevs[i + 1])
         vx, vy, _ = ref.velocity_from_flow(flow, cfg.x_range, cfg.y_range)
         cont = ref.continuity_mask(vx, vy, cfg.masks.alpha_cont)

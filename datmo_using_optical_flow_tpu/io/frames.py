@@ -40,6 +40,44 @@ def pad_points(points: np.ndarray, capacity: int, dtype=np.float32) -> tuple[np.
     return out, mask
 
 
+# fixed-point H2D quantization (VERDICT r4 item 5): the tunnel's 42 MB/s H2D
+# link binds the from-points path, and the ROI spans +-20 m with cm-scale
+# sensor noise — int16 at 2^-10 m/LSB (0.98 mm, +-32 m range) halves the raw
+# point bytes.  Dequantization (q * 2^-10) is exact in f32, so the only
+# deviation from the f32 path is the +-0.5 mm host-side rounding — far below
+# the scene's 10 mm sensor noise and the densifier's 10 mm jitter.  Opt-in.
+Q16_SCALE = np.float32(1.0 / 1024.0)
+_Q16_SENTINEL = np.int16(32767)  # dequantizes to ~32 m: outside every ROI
+
+
+def quantize_points_q16(points: np.ndarray) -> np.ndarray:
+    """(N, 3) float meters -> int16 fixed point at 2^-10 m/LSB (clipped)."""
+    q = np.rint(np.asarray(points, np.float64) / Q16_SCALE)
+    return np.clip(q, -32768, 32767).astype(np.int16)
+
+
+def dequantize_points_q16(q):
+    """Device-side exact dequantization (int16 * 2^-10 -> f32 meters)."""
+    return q.astype(np.float32) * Q16_SCALE
+
+
+def pad_points_q16(points: np.ndarray, capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`pad_points` with int16 fixed-point payload (half the H2D bytes)."""
+    points = quantize_points_q16(points)
+    n = points.shape[0]
+    if n > capacity:
+        import warnings
+
+        warnings.warn(f"pad_points_q16: truncating {n} points to capacity {capacity}")
+        points = points[:capacity]
+        n = capacity
+    out = np.full((capacity, 3), _Q16_SENTINEL, dtype=np.int16)
+    out[:n] = points
+    mask = np.zeros((capacity,), dtype=bool)
+    mask[:n] = True
+    return out, mask
+
+
 def natsort_key(path: str):
     """Natural-order sort key (the reference uses ``natsorted`` at ``GMFA/GMFA.py:446``)."""
     return [int(tok) if tok.isdigit() else tok for tok in re.split(r"(\d+)", os.path.basename(path))]
@@ -56,7 +94,10 @@ class DiskFrameSource:
 
     def __init__(self, pcd_files: Sequence[str] | None = None, folder: str | None = None,
                  capacity: int = 65536, prefetch: int = 4, workers: int = 2,
-                 dtype=np.float32):
+                 dtype=np.float32, quantize_q16: bool = False):
+        """``quantize_q16``: deliver int16 fixed-point buffers (2^-10 m/LSB)
+        instead of f32 — half the H2D bytes on link-bound deployments; the
+        pipelines' preprocess dequantizes on device (see ``Q16_SCALE``)."""
         if pcd_files is None:
             if folder is None:
                 raise ValueError("provide pcd_files or folder")
@@ -67,6 +108,7 @@ class DiskFrameSource:
         self.prefetch = max(1, prefetch)
         self.workers = max(1, workers)
         self.dtype = dtype
+        self.quantize_q16 = quantize_q16
 
     def __len__(self) -> int:
         return len(self.pcd_files)
@@ -80,6 +122,8 @@ class DiskFrameSource:
             # produces a zero BEV / no moving points and the pair is skipped
             print(f"Error decoding {path}: {e}")
             points = np.zeros((0, 3), self.dtype)
+        if self.quantize_q16:
+            return pad_points_q16(points, self.capacity)
         return pad_points(points, self.capacity, self.dtype)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:

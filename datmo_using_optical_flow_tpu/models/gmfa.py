@@ -147,7 +147,8 @@ class GMFAPipeline:
     def process_files(self, pcd_files: Sequence[str], output_xlsx: str | None = None,
                       seed: int = 0, progress: bool = False,
                       plot_dir: str | None = None, checkpoint_every: int = 0,
-                      checkpoint_path: str | None = None, resume: bool = False) -> dict:
+                      checkpoint_path: str | None = None, resume: bool = False,
+                      h2d_q16: bool = False) -> dict:
         """Run GMFA over a PCD sequence (reference __main__, GMFA.py:424-536).
 
         Returns {"rows": track-log rows, "som": final SOM}; writes
@@ -171,7 +172,8 @@ class GMFAPipeline:
         from datmo_using_optical_flow_tpu.utils.hostpack import HostPacker
 
         c = self.cfg
-        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
+        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points,
+                                 quantize_q16=h2d_q16)
         carry = self.init_carry()
         key = jax.random.PRNGKey(seed)
         rows: list[dict] = []
@@ -464,6 +466,10 @@ def _cached_gmfa_step(cfg: GMFAConfig, max_moving: int, donate: bool = False):
 
 def _gmfa_preprocess_impl(points, mask, key, cfg: GMFAConfig):
     c = cfg
+    if points.dtype == jnp.int16:
+        # q16 fixed-point H2D payload (io.frames.Q16_SCALE) — exact dequant
+        from datmo_using_optical_flow_tpu.io.frames import dequantize_points_q16
+        points = dequantize_points_q16(points)
     kr, kd = jax.random.split(key)
     p = point_ops.flip_x(points)
     _, non_ground = remove_ground(p, mask, kr, c.ransac.distance_threshold,

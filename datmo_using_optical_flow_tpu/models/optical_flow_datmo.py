@@ -198,8 +198,12 @@ class PipelineA:
     def process_files(self, pcd_files: Sequence[str], output_dir: str | None = None,
                       save_png: bool = False, seed: int = 0, progress: bool = False,
                       checkpoint_every: int = 0, checkpoint_path: str | None = None,
-                      resume: bool = False) -> dict:
+                      resume: bool = False, h2d_q16: bool = False) -> dict:
         """Run the full pipeline over a PCD sequence, writing parity artifacts.
+
+        ``h2d_q16``: ship raw points host->device as int16 fixed point
+        (2^-10 m/LSB — half the H2D bytes; +-0.5 mm host-side rounding, far
+        below sensor noise) for link-bound deployments.
 
         Equivalent of ``process_multiple_frames(pcd_files, config)`` (main.py:541).
         Returns a summary dict with final tracks and per-stage timings.
@@ -215,7 +219,8 @@ class PipelineA:
 
         c = self.cfg
         sink = ArtifactSink(output_dir or c.output_folder, save_png=save_png)
-        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points)
+        source = DiskFrameSource(pcd_files, capacity=c.capacities.max_raw_points,
+                                 quantize_q16=h2d_q16)
         carry = self.init_stream_carry()
         key = jax.random.PRNGKey(seed)
 
@@ -510,8 +515,15 @@ def _cached_step(cfg: PipelineAConfig, fast_warp: bool, use_pallas: bool,
 def _preprocess_impl(points: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
                      cfg: PipelineAConfig) -> jnp.ndarray:
     """flip -> RANSAC ground removal -> ROI -> compact -> densify -> BEV
-    (reference ``preprocess_pcd``, ``Optical_flow/main.py:59-95``)."""
+    (reference ``preprocess_pcd``, ``Optical_flow/main.py:59-95``).
+
+    int16 inputs are q16 fixed-point (2^-10 m/LSB, ``io.frames.Q16_SCALE``)
+    shipped at half the H2D bytes on link-bound deployments; dequantized
+    exactly here on device."""
     c = cfg
+    if points.dtype == jnp.int16:
+        from datmo_using_optical_flow_tpu.io.frames import dequantize_points_q16
+        points = dequantize_points_q16(points)
     kr, kd = jax.random.split(key)
     p = point_ops.flip_x(points)
     _, non_ground = remove_ground(p, mask, kr, c.ransac.distance_threshold,

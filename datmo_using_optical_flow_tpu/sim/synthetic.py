@@ -29,6 +29,11 @@ class BoxTarget:
     velocity: tuple[float, float] = (2.0, 0.5)  # m/s in x, y
     points_per_frame: int = 600
     accel: tuple[float, float] = (0.0, 0.0)     # m/s^2 in x, y
+    # rad/s: constant-speed circular motion (radius |v|/turn_rate, initial
+    # heading from ``velocity``) — lets a fast target stay inside a small ROI
+    # for arbitrarily long clips while continuously defeating the pipelines'
+    # constant-velocity motion models.  Exclusive with ``accel``.
+    turn_rate: float = 0.0
     spawn_frame: int = 0
     despawn_frame: int | None = None            # exclusive; None = forever
 
@@ -94,16 +99,30 @@ def _box_surface_points(rng: np.random.Generator, center: np.ndarray,
 
 
 def target_center(box: BoxTarget, frame_index: int, dt: float = 1.0) -> np.ndarray:
-    """Ground-truth (3,) center of a target at a frame: c0 + v t + a t^2 / 2."""
+    """Ground-truth (3,) center of a target at a frame: c0 + v t + a t^2 / 2,
+    or the constant-speed circle when ``turn_rate`` is set."""
     t = dt * frame_index
+    if box.turn_rate:
+        s = float(np.hypot(*box.velocity))
+        w = box.turn_rate
+        th0 = float(np.arctan2(box.velocity[1], box.velocity[0]))
+        th = th0 + w * t
+        r = s / w
+        return np.array(box.center0) + np.array(
+            [r * (np.sin(th) - np.sin(th0)), r * (np.cos(th0) - np.cos(th)), 0.0])
     return (np.array(box.center0)
             + np.array([box.velocity[0], box.velocity[1], 0.0]) * t
             + 0.5 * np.array([box.accel[0], box.accel[1], 0.0]) * t * t)
 
 
 def target_velocity(box: BoxTarget, frame_index: int, dt: float = 1.0) -> np.ndarray:
-    """Ground-truth (2,) velocity of a target at a frame: v + a t."""
+    """Ground-truth (2,) velocity of a target at a frame: v + a t (or the
+    rotated constant-speed heading under ``turn_rate``)."""
     t = dt * frame_index
+    if box.turn_rate:
+        s = float(np.hypot(*box.velocity))
+        th = float(np.arctan2(box.velocity[1], box.velocity[0])) + box.turn_rate * t
+        return np.array([s * np.cos(th), s * np.sin(th)])
     return np.array(box.velocity) + np.array(box.accel) * t
 
 

@@ -92,3 +92,40 @@ def test_disk_frame_source(tmp_path, points):
     for i, (buf, mask) in enumerate(frames):
         assert buf.shape == (1024, 3) and mask.sum() == len(points)
         np.testing.assert_allclose(buf[: len(points)], points + i, rtol=1e-6)
+
+
+def test_q16_h2d_quantization_roundtrip_and_preprocess_parity():
+    """VERDICT r4 item 5: int16 fixed-point H2D payloads (2^-10 m/LSB) —
+    quantization bounded by half an LSB, sentinel padding outside every ROI,
+    and the device pipeline produces BIT-identical results to feeding the
+    dequantized f32 points directly (dequant is exact in f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from datmo_using_optical_flow_tpu.config import CapacityConfig, PipelineAConfig
+    from datmo_using_optical_flow_tpu.io.frames import (Q16_SCALE, pad_points,
+                                                        pad_points_q16)
+    from datmo_using_optical_flow_tpu.models.optical_flow_datmo import PipelineA
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-20, 20, size=(500, 3))
+    q, qmask = pad_points_q16(pts, 600)
+    assert q.dtype == np.int16
+    deq = q[:500].astype(np.float32) * Q16_SCALE
+    assert np.abs(deq - pts).max() <= Q16_SCALE / 2 + 1e-9
+    assert qmask.sum() == 500
+    # sentinel rows dequantize to ~32 m — outside the default +-10 m ROI
+    assert (q[500:].astype(np.float32) * Q16_SCALE > 30).all()
+
+    cfg = PipelineAConfig(capacities=CapacityConfig(
+        max_raw_points=600, max_roi_points=256, max_cells=512,
+        max_clusters=4, max_tracks=8))
+    pipe = PipelineA(cfg)
+    key = jax.random.PRNGKey(0)
+    bev_q = pipe.preprocess(jnp.asarray(q), jnp.asarray(qmask), key)
+    # same 500 valid rows as f32 (1e9 sentinel padding instead of the q16
+    # sentinel — masked rows must not influence the result)
+    f32, fmask = pad_points(q[:500].astype(np.float32) * Q16_SCALE, 600)
+    np.testing.assert_array_equal(np.asarray(qmask), np.asarray(fmask))
+    bev_f = pipe.preprocess(jnp.asarray(f32), jnp.asarray(fmask), key)
+    np.testing.assert_array_equal(np.asarray(bev_q), np.asarray(bev_f))
