@@ -50,7 +50,9 @@ if [ "$MODE" = full ]; then
   run bench        900 python bench.py
   run flow_batched 900 python benchmarks/bench_flow_batched.py
   run multistream  900 python benchmarks/bench_multistream.py
-  run from_points  900 python benchmarks/bench_from_points.py
+  run from_points  1200 python benchmarks/bench_from_points.py
   run diag_scan    1200 python benchmarks/diag_scan_1080p.py
+  run quality      2400 python benchmarks/bench_quality.py
+  run diag_4k      1800 python benchmarks/diag_4k.py
 fi
 echo "SUITE DONE"
