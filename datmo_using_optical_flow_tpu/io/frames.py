@@ -51,8 +51,13 @@ _Q16_SENTINEL = np.int16(32767)  # dequantizes to ~32 m: outside every ROI
 
 
 def quantize_points_q16(points: np.ndarray) -> np.ndarray:
-    """(N, 3) float meters -> int16 fixed point at 2^-10 m/LSB (clipped)."""
-    q = np.rint(np.asarray(points, np.float64) / Q16_SCALE)
+    """(N, 3) float meters -> int16 fixed point at 2^-10 m/LSB (clipped).
+
+    Host-side f32 arithmetic: the scale is a power of two so the division is
+    exact, and an f32 rint at |q| <= 32767 is within half an LSB of the f64
+    answer — this path is lossy by design and the f64 pass cost real host
+    time on the 1-CPU container."""
+    q = np.rint(np.asarray(points, np.float32) * np.float32(1.0 / Q16_SCALE))
     return np.clip(q, -32768, 32767).astype(np.int16)
 
 

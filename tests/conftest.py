@@ -52,8 +52,27 @@ _SMOKE_NODEIDS = (
 )
 
 
+# Middle tier (`pytest -m standard`, VERDICT r4 item 10): the full suite minus
+# the handful of multi-minute integration runs below — ~18 min on this 1-CPU
+# container (measured r5: full suite 35:46, these six tests ~17 min of it),
+# so round health is verifiable inside one command timeout.  The excluded
+# tests still run in the full (no -m) record.
+_SLOW_NODEIDS = (
+    "test_resume.py::test_gmfa_resume_matches_uninterrupted",          # 293s
+    "test_parallel.py::test_multi_stream_gmfa_step_matches_single_stream",  # 195s
+    "test_gmfa_pipeline.py::test_gmfa_two_targets_matches_oracle",     # 168s
+    "test_gmfa_pipeline.py::test_gmfa_scan_steps_matches_sequential",  # 157s
+    "test_flow_pallas.py::test_fused_flow_1080p_epe_budget_shipping_config",  # 134s
+    "test_edge_cases.py::test_gmfa_plot_dir",                          # 68s
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         nodeid = item.nodeid.rsplit("/", 1)[-1]
         if nodeid in _SMOKE_NODEIDS:
             item.add_marker(pytest.mark.smoke)
+        if nodeid in _SLOW_NODEIDS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.standard)
