@@ -149,8 +149,13 @@ class PipelineA:
     # per-frame dispatch at 1080p (the scan also avoids the tunnel's ~28 ms
     # dispatch round trip per frame).  The bound now only caps compile time
     # (~87 s at 1080p, cached thereafter) — set above 1080p, kept finite so
-    # pathological grids (4K+) still stream per-frame, where compile cost
-    # and carry size are untested.
+    # pathological grids (4K+) still stream per-frame.  The 4K dispatch
+    # branch was MEASURED in r5 (benchmarks/diag_4k.py at 2176x3840):
+    # compile 135 s, stream-carry residency 250.5 MB, 0.79 FPS on this
+    # 1/10-scale chip — on the XLA kernel path, because the Pallas strip
+    # kernels cap at flow_pallas.MAX_KERNEL_WIDTH (their scoped VMEM scales
+    # with width and overflows the 16 MB limit at W=3840).  4K-native
+    # throughput needs width-tiled kernels, not a different scan boundary.
     SCAN_MAX_CELLS = 1088 * 1920
 
     def scan_steps(self, bevs: jnp.ndarray, carry: StepCarry

@@ -121,8 +121,11 @@ def poly_exp(img: jnp.ndarray, n: int, sigma: float,
     of round-tripping the three intermediate row planes.
     """
     # the strip kernel is strictly 2-D (it unpacks h, w = img.shape); batched
-    # callers keep the jnp path rather than tracing a crash / slicing a batch
-    if use_pallas and img.ndim == 2 and img.shape[-2] * img.shape[-1] >= 256 * 256:
+    # callers keep the jnp path rather than tracing a crash / slicing a batch.
+    # Width cap: see flow_pallas.MAX_KERNEL_WIDTH (scoped-VMEM budget at 4K)
+    if (use_pallas and img.ndim == 2
+            and img.shape[-2] * img.shape[-1] >= 256 * 256
+            and img.shape[-1] <= 2048):
         from datmo_using_optical_flow_tpu.ops import flow_pallas
 
         return flow_pallas.poly_exp_pallas(img, n, sigma)
@@ -350,8 +353,11 @@ def farneback_level(R0: jnp.ndarray, R1: jnp.ndarray, dx: jnp.ndarray, dy: jnp.n
     if use_pallas:
         from datmo_using_optical_flow_tpu.ops import flow_pallas
 
-        return flow_pallas.farneback_level(R0, R1, dx, dy, winsize, iterations,
-                                           gaussian)
+        if R0.shape[-1] <= flow_pallas.MAX_KERNEL_WIDTH:
+            return flow_pallas.farneback_level(R0, R1, dx, dy, winsize,
+                                               iterations, gaussian)
+        # 4K+ widths exceed the strip kernels' scoped-VMEM budget
+        # (flow_pallas.MAX_KERNEL_WIDTH) — take the XLA path below
     blur = gauss_blur5 if gaussian else box_blur5
     packed = pack_corner_pairs(R1) if fast_warp else None
     M = update_matrices(R0, R1, dx, dy, packed)

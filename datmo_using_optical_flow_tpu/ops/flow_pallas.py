@@ -246,6 +246,13 @@ def poly_exp_pallas(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
 # M round trip (write 42 MB + re-read ~60 MB at 1080p) was pure HBM traffic.
 
 FS = 32   # fused-kernel strip rows (multiple of 8; 2*warp_pallas.YOFF must be a multiple of FS's window ring slots — wh = FS + 2*YOFF with wh % FS == 0)
+
+# Widest image the strip kernels fit in scoped VMEM for: the per-strip rings
+# and M planes scale linearly with W, and at W=3840 the fused iteration's
+# scoped allocation measures 17.77 MB against the 16 MB limit (r5 diag_4k
+# on-chip compile failure) — ~2x the ~8.9 MB footprint at the 1920-wide
+# headline shape.  Dispatchers fall back to the XLA path above this.
+MAX_KERNEL_WIDTH = 2048
 _TAIL = 8  # retained rows of the t-2 strip (>= winsize//2, 8-aligned)
 
 

@@ -27,7 +27,34 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def bootstrap_carla_egg(search_dir: str = ".") -> str | None:
+    """S1 parity (``single_target_simultion.py:23-32``): locate a
+    ``carla-<version>-py<major>.<minor>-<platform>.egg`` for the running
+    interpreter and prepend it to ``sys.path``.  Returns the egg path (or
+    None).  The reference hard-crashes on a missing egg glob; here it is an
+    optional fallback tried before the clear ImportError."""
+    import glob
+    import sys
+
+    pattern = os.path.join(
+        search_dir,
+        f"carla-*{sys.version_info.major}.{sys.version_info.minor}-"
+        f"{'win-amd64' if os.name == 'nt' else 'linux-x86_64'}.egg")
+    matches = sorted(glob.glob(pattern))
+    if not matches:
+        return None
+    if matches[-1] not in sys.path:
+        sys.path.insert(0, matches[-1])
+    return matches[-1]
+
+
 def _require_carla():
+    try:
+        import carla  # type: ignore
+
+        return carla
+    except ImportError:
+        bootstrap_carla_egg()
     try:
         import carla  # type: ignore
 

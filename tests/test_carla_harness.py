@@ -327,3 +327,24 @@ def test_run_simulation_requires_carla(tmp_path, monkeypatch):
 
     with pytest.raises((ImportError, TypeError)):
         run_simulation(output_dir=str(tmp_path / "x"), num_ticks=1)
+
+
+def test_bootstrap_carla_egg(tmp_path, monkeypatch):
+    """S1 egg-path bootstrap (single_target_simultion.py:23-32): the matching
+    interpreter/platform egg is found and prepended to sys.path; absent eggs
+    return None without touching the path."""
+    import sys
+
+    from datmo_using_optical_flow_tpu.sim.carla_harness import bootstrap_carla_egg
+
+    assert bootstrap_carla_egg(str(tmp_path)) is None
+    plat = "win-amd64" if os.name == "nt" else "linux-x86_64"
+    egg = tmp_path / (f"carla-0.9.12-py{sys.version_info.major}."
+                      f"{sys.version_info.minor}-{plat}.egg")
+    egg.write_bytes(b"")
+    wrong = tmp_path / f"carla-0.9.12-py2.7-{plat}.egg"
+    wrong.write_bytes(b"")
+    found = bootstrap_carla_egg(str(tmp_path))
+    assert found == str(egg)
+    assert sys.path[0] == str(egg)
+    sys.path.remove(str(egg))
