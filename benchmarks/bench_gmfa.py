@@ -61,7 +61,7 @@ def main() -> None:
                            points_per_frame=4000)),
         seed=42,
     )
-    n_frames = 4
+    n_frames = 7  # 6 async step dispatches per sweep, 1 sync (bench.py-style amortization)
     pipe = GMFAPipeline(cfg, max_moving_points=16384)
     key = jax.random.PRNGKey(0)
 

@@ -90,6 +90,14 @@ def _icp_phase(srcf, smask, tgtf, tmask, thr2, relative_fitness, relative_rmse,
         block_table = nn_pallas.build_block_table(src_build, tgt_index, n)
 
     def eval_full(transform, cache):
+        # NOTE (r5): replacing this plain evaluation with a direct
+        # nearest_neighbors_pallas call on the prebuilt index + cap (value-
+        # identical observables, ~15 ms cheaper in isolation) was tried and
+        # REVERTED: any capped/indexed kernel instance after the while_loop
+        # re-triggers the r4 scheduling pathology (the diag_gmfa_liveness
+        # +1120 ms effect) — measured 4.9 -> 1.45 FPS at reference load.
+        # The plain helper's rebuilt index/argsort is the price of a sanely
+        # scheduled program.
         pts = srcf @ transform[:3, :3].T + transform[:3, 3]
         idx, _ = nearest_neighbors(pts, tgtf, tmask)
         # exact d2 on the winner (direct subtraction): the kernel's expansion

@@ -6,6 +6,11 @@ computational efficiency (FPS) — for both pipelines, on a deterministic synthe
 scene with known target velocities.
 
 Usage: python examples/evaluate.py [num_frames]
+
+NOTE: this is the quick well-separated sanity scene (P/R saturate near 1.0 by
+design).  The ADVERSARIAL quality surface — crossing targets with clutter,
+occlusion shadows, curving targets, noise/density sweeps, where P/R genuinely
+degrade — is ``benchmarks/bench_quality.py`` (results: BENCH_QUALITY_r05.json).
 """
 
 from __future__ import annotations
