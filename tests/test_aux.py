@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from datmo_using_optical_flow_tpu.ops.clusters import (cluster_mean_speeds,
                                                        filter_clusters_by_polygon)
@@ -170,3 +171,111 @@ def test_carla_requires_import_error():
 
     with pytest.raises(ImportError, match="CARLA"):
         run_simulation()
+
+
+# ------------------------------------------------------------------ r5 synthetic scene extensions
+
+def test_turn_rate_circle_consistency():
+    """turn_rate targets: analytic velocity == finite difference of centers;
+    speed constant; path stays within the circle radius of the chord."""
+    from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget,
+                                                            target_center,
+                                                            target_velocity)
+
+    box = BoxTarget(center0=(5.0, -1.0, 0.75), velocity=(0.0, 0.65),
+                    turn_rate=0.13)
+    s = np.hypot(*box.velocity)
+    for t in (0, 1, 7, 23):
+        c0 = target_center(box, t)
+        c1 = target_center(box, t + 1)
+        v = target_velocity(box, t + 0.5)  # midpoint heading ~ chord direction
+        step = c1[:2] - c0[:2]
+        # chord length of a 0.13 rad arc at speed 0.65
+        assert np.hypot(*step) == pytest.approx(2 * (s / 0.13) * np.sin(0.13 / 2),
+                                                rel=1e-6)
+        assert np.linalg.norm(target_velocity(box, t)) == pytest.approx(s)
+        # chord direction equals the midpoint heading
+        assert np.cross(step, v) == pytest.approx(0.0, abs=1e-9)
+    # turn_rate=0 falls back to the straight path
+    straight = BoxTarget(center0=(0, 0, 0), velocity=(1.0, 2.0))
+    np.testing.assert_allclose(target_center(straight, 3)[:2], [3.0, 6.0])
+
+
+def test_spawn_despawn_and_stream_stability():
+    """Targets outside their spawn window contribute no points, and their
+    presence/absence does not perturb any other part of the frame (the rng
+    stream draws are unconditional)."""
+    from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget,
+                                                            SyntheticScene,
+                                                            ground_truth,
+                                                            synthetic_frame)
+
+    always = BoxTarget(center0=(5, 5, 0.75), points_per_frame=100)
+    windowed = BoxTarget(center0=(-5, -5, 0.75), points_per_frame=100,
+                         spawn_frame=2, despawn_frame=4)
+    s_with = SyntheticScene(seed=9, ground_points=500,
+                            targets=(always, windowed))
+    f1 = synthetic_frame(s_with, 1)
+    f2 = synthetic_frame(s_with, 2)
+    assert len(f2) == len(f1) + 100          # windowed target present at 2 only
+    # the shared prefix (ground + always-target) is bit-identical
+    np.testing.assert_array_equal(f1[:600], f2[:600] * 0 + f1[:600])
+    gp, gv = ground_truth(s_with, 1)
+    assert gp.shape == (1, 2)
+    gp2, _ = ground_truth(s_with, 3)
+    assert gp2.shape == (2, 2)
+
+
+def test_clutter_and_occlusion():
+    from datmo_using_optical_flow_tpu.sim.synthetic import (BoxTarget,
+                                                            SyntheticScene,
+                                                            synthetic_frame)
+
+    base = dict(seed=4, ground_points=500,
+                targets=(BoxTarget(center0=(8, 3.2, 0.75), velocity=(0, 0),
+                                   points_per_frame=200),))
+    plain = synthetic_frame(SyntheticScene(**base), 0)
+    clut = synthetic_frame(SyntheticScene(**base, clutter_blobs=3,
+                                          clutter_points=40), 0)
+    # clutter appends 3 x 40 transient points; the base frame is untouched
+    assert len(clut) == len(plain) + 120
+    np.testing.assert_array_equal(clut[:len(plain)], plain)
+    # determinism
+    np.testing.assert_array_equal(
+        clut, synthetic_frame(SyntheticScene(**base, clutter_blobs=3,
+                                             clutter_points=40), 0))
+
+    # occluder between the sensor (origin) and the target removes target hits
+    occ = dict(base, seed=4,
+               static_boxes=(BoxTarget(center0=(4.0, 1.6, 1.25),
+                                       size=(5.0, 3.0, 2.5), velocity=(0, 0),
+                                       points_per_frame=300),))
+    vis = synthetic_frame(SyntheticScene(**occ), 0)
+    shadowed = synthetic_frame(SyntheticScene(**occ, occlusion=True), 0)
+    assert len(shadowed) < len(vis)
+    # the target at (8, 3.2) sits on the ray through the box at (4, 1.6):
+    # most of its returns are shadowed
+    def target_points(pts):
+        return pts[(np.abs(pts[:, 0] - 8) < 2.5) & (np.abs(pts[:, 1] - 3.2) < 2.0)
+                   & (pts[:, 2] > 0.2)]
+    assert len(target_points(shadowed)) < 0.5 * len(target_points(vis))
+
+
+def test_disk_frame_source_q16():
+    """DiskFrameSource(quantize_q16=True) delivers int16 buffers decodable to
+    the same points within half an LSB."""
+    import tempfile
+
+    from datmo_using_optical_flow_tpu.io.frames import DiskFrameSource, Q16_SCALE
+    from datmo_using_optical_flow_tpu.io.pcd import write_pcd
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-15, 15, size=(300, 3)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "lidar_frame_0.pcd")
+        write_pcd(p, pts)
+        (qpts, qmask), = list(DiskFrameSource([p], capacity=400,
+                                              quantize_q16=True))
+        assert qpts.dtype == np.int16 and qmask.sum() == 300
+        deq = qpts[:300].astype(np.float32) * Q16_SCALE
+        assert np.abs(deq - pts).max() <= Q16_SCALE / 2 + 1e-6
