@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 _BIG = 1e9
 _INF = jnp.float32(3e38)
+# compacted-tier capacity: both masked counts must fit for the small solve
+_COMPACT_CAP = 16
 
 
 @partial(jax.jit, static_argnames=())
@@ -115,15 +117,58 @@ def linear_sum_assignment(cost: jnp.ndarray, row_mask: jnp.ndarray | None = None
     big = jnp.max(jnp.where(finite, cost, 0.0)) + 1.0
     masked_cost = jnp.where(finite, cost, big)
 
-    if r <= c:
-        padded = jnp.zeros((c, c), jnp.float32).at[:r, :c].set(masked_cost)
-        col4row = solve_square(padded)[:r]
-    else:
+    def _solve_full(_):
+        if r <= c:
+            padded = jnp.zeros((c, c), jnp.float32).at[:r, :c].set(masked_cost)
+            return solve_square(padded)[:r]
         # transpose so every (real) column row gets matched, then invert
         padded = jnp.zeros((r, r), jnp.float32).at[:c, :r].set(masked_cost.T)
         row4col = solve_square(padded)[:c]  # row index for each real column
-        col4row = jnp.full((r,), c, jnp.int32).at[row4col].set(
+        return jnp.full((r,), c, jnp.int32).at[row4col].set(
             jnp.arange(c, dtype=jnp.int32), mode="drop")
+
+    # Compacted tier (r5): solve_square's cost is its SEQUENTIAL row loop
+    # (n fori rows x an inner Dijkstra while_loop — ~17 ms in-program at the
+    # GMFA 64x32 capacity), while the REAL problem is tiny: GMFA's unmatched
+    # tracks are dropped every frame, so live rows/cols are a handful.  When
+    # both masked counts fit _COMPACT_CAP, gather the valid rows/columns
+    # (top_k over sign-flipped iota keys — ascending, stable), solve the
+    # (_COMPACT_CAP, _COMPACT_CAP) sub-problem, and scatter assignments back.
+    # Optimality over the valid sub-matrix is the same problem; masked
+    # rows/cols only ever pair with slack in the full solve and are reported
+    # unmatched (col4row = c) here — ``valid`` is computed identically either
+    # way.  (Degenerate ties between equal-cost optima may resolve
+    # differently than the full solve, as they already may vs scipy.)
+    if (row_mask is not None and col_mask is not None
+            and min(r, c) > _COMPACT_CAP):
+        nrow = jnp.sum(row_mask.astype(jnp.int32))
+        ncol = jnp.sum(col_mask.astype(jnp.int32))
+
+        def _solve_small(_):
+            k = _COMPACT_CAP
+
+            def top_idx(mask, n):
+                iota = jnp.arange(n, dtype=jnp.int32)
+                sentinel = jnp.int32(-(2 ** 31) + 1)
+                vals, _ = jax.lax.top_k(jnp.where(mask, -iota, sentinel), k)
+                okay = vals > sentinel
+                return jnp.where(okay, -vals, 0), okay
+
+            ridx, rok = top_idx(row_mask, r)
+            cidx, cok = top_idx(col_mask, c)
+            sub = masked_cost[ridx][:, cidx]
+            sub = jnp.where(rok[:, None] & cok[None, :], sub, big)
+            sub4 = solve_square(sub)                     # (k,) in sub-col space
+            subcol = jnp.clip(sub4, 0, k - 1)
+            mapped = jnp.where(cok[subcol], cidx[subcol], c)
+            out = jnp.full((r,), c, jnp.int32)
+            dest = jnp.where(rok, ridx, r)
+            return out.at[dest].set(mapped, mode="drop")
+
+        col4row = jax.lax.cond((nrow <= _COMPACT_CAP) & (ncol <= _COMPACT_CAP),
+                               _solve_small, _solve_full, 0)
+    else:
+        col4row = _solve_full(0)
     inb = col4row < c
     chosen = masked_cost[jnp.arange(r), jnp.clip(col4row, 0, c - 1)]
     valid = inb & (chosen < big)
